@@ -1,0 +1,299 @@
+"""Batched TPU DCT perceptual hashing + de-letterbox autocrop (JAX/XLA).
+
+TPU-first redesign of the reference per-image kernels
+(dctHash64: /root/reference/src/cvutil.cpp:435-545,
+ autocrop:  /root/reference/src/cvutil.cpp:1285-1400):
+
+The reference processes one image at a time on the CPU (blur → resize →
+DCT → threshold).  Here a *batch* of variable-sized grayscale images lives
+in a fixed-size canvas [B, H, W] and the whole pipeline is one fused XLA
+program:
+
+  1. ``autocrop_boxes``: vectorized row/col run-length reductions give a
+     per-image crop box (t, b, l, r) — no data-dependent control flow.
+  2. blur + INTER_AREA-resize are *linear* operators, so we build one
+     per-image [32, H] row map and [32, W] col map (mean-blur matrix with
+     BORDER_REFLECT_101 composed with the box-overlap resize matrix,
+     restricted to the crop box) and apply them as batched matmuls — MXU
+     work instead of scalar loops.
+  3. 32×32 DCT = two matmuls with the constant orthonormal DCT-II matrix.
+  4. zig-zag gather, mean threshold, and bit-pack to two uint32 lanes
+     (TPUs have no 64-bit int lanes; the packed hash is (hi << 32) | lo).
+
+The math matches the numpy golden model in ops/ref_numpy.py exactly
+(float32 vs float64 tolerance aside); see tests/test_dct_hash.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ref_numpy import dct2_matrix, zigzag_table
+
+# static tables
+_ZZ64 = np.asarray(zigzag_table(9)[6:70])  # 64 coefficient positions in the 9x9 block
+_D32 = np.asarray(dct2_matrix(32), dtype=np.float32)
+_POW32 = (np.uint32(1) << np.arange(32, dtype=np.uint32))
+
+
+# ---------------------------------------------------------------------------
+# autocrop (de-letterbox)
+# ---------------------------------------------------------------------------
+
+def _axis_runs(diff: jnp.ndarray, extent: jnp.ndarray, n: int):
+    """First/last True index along the last axis of ``diff`` within [0, extent).
+
+    @return (first, last_exclusive): for all-False rows, (extent, 0) — the
+    convention the reference scan loops produce (src/cvutil.cpp:1316-1328).
+    """
+    any_ = diff.any(axis=-1)
+    first = jnp.argmax(diff, axis=-1)
+    last = (n - 1) - jnp.argmax(diff[..., ::-1], axis=-1)
+    first = jnp.where(any_, first, extent)
+    last_ex = jnp.where(any_, last + 1, 0)
+    return first, last_ex
+
+
+def autocrop_boxes(canvas: jnp.ndarray, sizes: jnp.ndarray,
+                   crop_range: int = 20) -> jnp.ndarray:
+    """Vectorized de-letterbox: per-image crop boxes [B, 4] = (t, b, l, r).
+
+    Semantics of the reference autocrop (src/cvutil.cpp:1285-1400): a row is
+    "letterbox" when pixels matching the border color (|p - canvas[0,0]| <=
+    range) run in from both edges and cover >66% of the row; scan from the
+    center to each edge; crops must be balanced within 5% per axis
+    (re-centered to the lesser margin otherwise) and keep >65% of each
+    dimension.
+    """
+    B, H, W = canvas.shape
+    h = sizes[:, 0].astype(jnp.int32)[:, None]  # [B,1]
+    w = sizes[:, 1].astype(jnp.int32)[:, None]
+    x = canvas.astype(jnp.int32)
+    color = x[:, 0:1, 0:1]  # [B,1,1]
+
+    rows_i = jnp.arange(H, dtype=jnp.int32)
+    cols_i = jnp.arange(W, dtype=jnp.int32)
+    valid = (rows_i[None, :, None] < h[..., None]) & (cols_i[None, None, :] < w[..., None])
+    diff = (jnp.abs(x - color) > crop_range) & valid  # [B,H,W]
+
+    min_w_cov = jnp.floor(w.astype(jnp.float32) * 0.66).astype(jnp.int32)
+    min_h_cov = jnp.floor(h.astype(jnp.float32) * 0.66).astype(jnp.int32)
+    max_h_margin = jnp.floor(w.astype(jnp.float32) * 0.05).astype(jnp.int32)
+    max_v_margin = jnp.floor(h.astype(jnp.float32) * 0.05).astype(jnp.int32)
+
+    # rows: left/right runs of border color
+    left_r, right_r = _axis_runs(diff, w, W)  # [B,H]
+    is_lb_row = (left_r > 0) & (right_r < w) & (left_r + w - right_r > min_w_cov)
+
+    # cols: top/bottom runs (reduce over rows)
+    diff_t = jnp.swapaxes(diff, 1, 2)  # [B,W,H]
+    top_c, bot_c = _axis_runs(diff_t, h, H)  # [B,W]
+    is_lb_col = (top_c > 0) & (bot_c < h) & (top_c + h - bot_c > min_h_cov)
+
+    r_idx = rows_i[None, :]
+    c_idx = cols_i[None, :]
+    h2 = h // 2
+    w2 = w // 2
+
+    # top: largest letterbox row <= h/2, +1 (the reference scans down from
+    # the center and stops at the first letterbox row)
+    cand = jnp.where(is_lb_row & (r_idx <= h2), r_idx, -1)
+    top = jnp.max(cand, axis=1, keepdims=True) + 1
+    # bottom: smallest letterbox row >= h/2+1, else h (exclusive bound)
+    cand = jnp.where(is_lb_row & (r_idx >= h2 + 1) & (r_idx < h), r_idx, h)
+    bottom = jnp.min(cand, axis=1, keepdims=True)
+
+    cand = jnp.where(is_lb_col & (c_idx <= w2), c_idx, -1)
+    left = jnp.max(cand, axis=1, keepdims=True) + 1
+    cand = jnp.where(is_lb_col & (c_idx >= w2 + 1) & (c_idx < w), c_idx, w)
+    right = jnp.min(cand, axis=1, keepdims=True)
+
+    # re-center off-balance crops using the lesser margin
+    bmargin = h - bottom
+    unbalanced_v = jnp.abs(top - bmargin) > max_v_margin
+    top2 = jnp.where(unbalanced_v & (top > bmargin), bmargin, top)
+    bottom2 = jnp.where(unbalanced_v & (top <= bmargin), h - top, bottom)
+
+    rmargin = w - right
+    unbalanced_h = jnp.abs(left - rmargin) > max_h_margin
+    left2 = jnp.where(unbalanced_h & (left > rmargin), rmargin, left)
+    right2 = jnp.where(unbalanced_h & (left <= rmargin), w - left, right)
+
+    top, bottom, left, right = top2, bottom2, left2, right2
+
+    # sanity: only crop balanced boxes that keep >65% of each dimension
+    some_crop = ((left != 0) & (right != w)) | ((top != 0) & (bottom != h))
+    ok = (some_crop & (left < right) & (top < bottom)
+          & ((right - left).astype(jnp.float32) / w.astype(jnp.float32) > 0.65)
+          & ((bottom - top).astype(jnp.float32) / h.astype(jnp.float32) > 0.65))
+
+    zero = jnp.zeros_like(h)
+    top = jnp.where(ok, top, zero)
+    bottom = jnp.where(ok, bottom, h)
+    left = jnp.where(ok, left, zero)
+    right = jnp.where(ok, right, w)
+    return jnp.concatenate([top, bottom, left, right], axis=1)
+
+
+def full_boxes(sizes: jnp.ndarray) -> jnp.ndarray:
+    h = sizes[:, 0:1].astype(jnp.int32)
+    w = sizes[:, 1:2].astype(jnp.int32)
+    zero = jnp.zeros_like(h)
+    return jnp.concatenate([zero, h, zero, w], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# fused blur + area-resize as a per-image linear map
+# ---------------------------------------------------------------------------
+
+def _axis_map(start, size, rblur, n_out: int, n_canvas: int) -> jnp.ndarray:
+    """[n_out, n_canvas] matrix = area-resize(32) ∘ mean-blur(2r+1, reflect101)
+    restricted to canvas range [start, start+size).
+
+    Both operators are linear, so the composition is computed analytically:
+    the resize weight R[i, y] is the overlap of output cell i's source box
+    with pixel y, and each blur tap d contributes w_d * R at the tap's
+    reflect-101 preimages (interior y=t-d, left-reflection y=-t-d,
+    right-reflection y=2·size-2-t-d).
+    """
+    size_f = size.astype(jnp.float32)
+    sy = size_f / n_out
+    i = jnp.arange(n_out, dtype=jnp.float32)[:, None]  # [n_out,1]
+    tl = jnp.arange(n_canvas, dtype=jnp.int32) - start  # crop-local canvas index
+    valid_t = ((tl >= 0) & (tl < size)).astype(jnp.float32)
+    k_inv = 1.0 / (2.0 * rblur.astype(jnp.float32) + 1.0)
+
+    def resize_w(y_int: jnp.ndarray) -> jnp.ndarray:
+        y = y_int.astype(jnp.float32)[None, :]
+        lo = jnp.maximum(i * sy, y)
+        hi = jnp.minimum((i + 1.0) * sy, y + 1.0)
+        wgt = jnp.maximum(hi - lo, 0.0) / sy
+        inb = ((y_int >= 0) & (y_int < size)).astype(jnp.float32)
+        return wgt * inb[None, :]
+
+    m = jnp.zeros((n_out, n_canvas), jnp.float32)
+    for d in range(-3, 4):  # max blur radius 3 (7×7); taps beyond rblur get w=0
+        wd = (jnp.abs(d) <= rblur).astype(jnp.float32) * k_inv
+        contrib = resize_w(tl - d)
+        contrib = contrib + resize_w(-tl - d) * (tl >= 1).astype(jnp.float32)[None, :]
+        contrib = contrib + (resize_w(2 * size - 2 - tl - d)
+                             * (tl <= size - 2).astype(jnp.float32)[None, :])
+        m = m + wd * contrib
+    return m * valid_t[None, :]
+
+
+def _blur_radius(area: jnp.ndarray) -> jnp.ndarray:
+    """Size-adaptive blur radius (kernel 0/3/5/7 → r 0/1/2/3;
+    reference src/cvutil.cpp:446-455)."""
+    return jnp.where(area <= 32 * 32, 0,
+                     jnp.where(area <= 64 * 64, 1,
+                               jnp.where(area <= 128 * 128, 2, 3))).astype(jnp.int32)
+
+
+def dct_hash_from_boxes(canvas: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Hash each image's crop box. canvas [B,H,W] uint8, boxes [B,4] → [B,2] uint32."""
+    B, H, W = canvas.shape
+    top, bottom = boxes[:, 0], boxes[:, 1]
+    left, right = boxes[:, 2], boxes[:, 3]
+    hh = bottom - top
+    ww = right - left
+    rblur = _blur_radius(hh * ww)
+
+    mh = jax.vmap(functools.partial(_axis_map, n_out=32, n_canvas=H))(top, hh, rblur)
+    mw = jax.vmap(functools.partial(_axis_map, n_out=32, n_canvas=W))(left, ww, rblur)
+
+    # precision=HIGHEST: TPU matmuls default to bf16 passes, which flips
+    # hash bits sitting near the threshold; this pipeline is tiny so full
+    # f32 precision costs nothing measurable
+    hp = jax.lax.Precision.HIGHEST
+    x = canvas.astype(jnp.float32)
+    g = jnp.einsum("bih,bhw->biw", mh, x, precision=hp)
+    g = jnp.einsum("biw,bjw->bij", g, mw, precision=hp)  # [B,32,32] blurred+resized
+
+    d = jnp.asarray(_D32)
+    freq = jnp.einsum("ki,bij->bkj", d, g, precision=hp)
+    freq = jnp.einsum("bkj,lj->bkl", freq, d, precision=hp)  # D @ g @ D.T
+
+    blk = freq[:, :9, :9].reshape(B, 81)
+    v = blk[:, jnp.asarray(_ZZ64)]  # [B,64] zig-zag order, 6 lowest dropped
+    thresh = jnp.sum(v, axis=1, keepdims=True) / 64.0
+    bits = v > thresh
+    bits = bits.at[:, 0].set(False)  # ones-place reserved for the null convention
+
+    pw = jnp.asarray(_POW32)
+    lo = jnp.sum(bits[:, :32].astype(jnp.uint32) * pw, axis=1, dtype=jnp.uint32)
+    hi = jnp.sum(bits[:, 32:].astype(jnp.uint32) * pw, axis=1, dtype=jnp.uint32)
+    # hash 0 means "null"; occupied zero-hashes become 1 (src/cvutil.cpp:540-543)
+    lo = jnp.where((lo == 0) & (hi == 0), jnp.uint32(1), lo)
+    return jnp.stack([lo, hi], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("do_crop", "crop_range"))
+def hash_batch(canvas: jnp.ndarray, sizes: jnp.ndarray, do_crop: bool = False,
+               crop_range: int = 20):
+    """Fused autocrop (optional) + DCT hash. @return (hashes [B,2] u32, boxes [B,4])."""
+    boxes = autocrop_boxes(canvas, sizes, crop_range) if do_crop else full_boxes(sizes)
+    return dct_hash_from_boxes(canvas, boxes), boxes
+
+
+# ---------------------------------------------------------------------------
+# host-facing convenience API
+# ---------------------------------------------------------------------------
+
+def pack_canvas(images: Sequence[np.ndarray], height: int, width: int):
+    """Pack variable-sized grayscale uint8 images into a canvas batch."""
+    canvas = np.zeros((len(images), height, width), dtype=np.uint8)
+    sizes = np.zeros((len(images), 2), dtype=np.int32)
+    for n, img in enumerate(images):
+        h, w = img.shape
+        if h > height or w > width:
+            raise ValueError(f"image {n} ({h}x{w}) exceeds canvas {height}x{width}")
+        canvas[n, :h, :w] = img
+        sizes[n] = (h, w)
+    return canvas, sizes
+
+
+def combine_u32(pairs: np.ndarray) -> np.ndarray:
+    """[N,2] uint32 (lo,hi) → [N] uint64."""
+    pairs = np.asarray(pairs, dtype=np.uint32)
+    return pairs[:, 0].astype(np.uint64) | (pairs[:, 1].astype(np.uint64) << np.uint64(32))
+
+
+def split_u64(hashes: np.ndarray) -> np.ndarray:
+    """[N] uint64 → [N,2] uint32 (lo,hi)."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (h >> np.uint64(32)).astype(np.uint32)
+    return np.stack([lo, hi], axis=1)
+
+
+class DctHasher:
+    """Device hashing front-end: packs host images into fixed-shape batches
+    (one compiled program per (batch, canvas) shape) and returns uint64 hashes."""
+
+    def __init__(self, canvas_hw: tuple[int, int] = (640, 640), batch: int = 64,
+                 crop_range: int = 20):
+        self.canvas_hw = canvas_hw
+        self.batch = batch
+        self.crop_range = crop_range
+
+    def hash_images(self, images: Sequence[np.ndarray], do_crop: bool = False) -> np.ndarray:
+        """@return [N] uint64 dct hashes (0 is never produced; 0 == null)."""
+        if not images:
+            return np.zeros(0, dtype=np.uint64)
+        out = []
+        for i in range(0, len(images), self.batch):
+            chunk = list(images[i:i + self.batch])
+            n = len(chunk)
+            while len(chunk) < self.batch:  # pad to the compiled batch shape
+                chunk.append(np.zeros((32, 32), dtype=np.uint8))
+            canvas, sizes = pack_canvas(chunk, *self.canvas_hw)
+            pairs, _ = hash_batch(canvas, sizes, do_crop=do_crop,
+                                  crop_range=self.crop_range)
+            out.append(combine_u32(np.asarray(pairs))[:n])
+        return np.concatenate(out)

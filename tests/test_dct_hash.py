@@ -1,0 +1,149 @@
+"""DCT hash kernel: golden-model equivalence + robustness properties.
+
+Mirrors the reference test strategy (SURVEY.md §4): kernel correctness via
+golden values (here: the numpy golden model), plus the "rescaled duplicates
+must match" property that the reference fixture corpus (40 images × 5 sizes)
+encodes (/root/reference/unit/testindexbase.cpp:121-123)."""
+
+import numpy as np
+import pytest
+
+from cbird_tpu.ops import ref_numpy as ref
+from cbird_tpu.ops.dct_hash import (DctHasher, autocrop_boxes, combine_u32,
+                                    full_boxes, hash_batch, pack_canvas)
+
+
+def test_zigzag_table_matches_reference_values():
+    # first/last entries of the 81-entry table in src/cvutil.cpp:491-496
+    zz = ref.zigzag_table(9)
+    expected_head = [0, 9, 1, 2, 10, 18, 27, 19, 11, 3, 4, 12, 20, 28, 36, 45, 37]
+    expected_tail = [62, 70, 78, 79, 71, 80]
+    assert list(zz[:17]) == expected_head
+    assert list(zz[-6:]) == expected_tail
+    assert len(zz) == 81
+    assert sorted(zz) == list(range(81))
+
+
+def test_reflect101():
+    assert list(ref.reflect101(np.array([-3, -2, -1, 0, 1, 5, 6, 7]), 6)) == \
+        [3, 2, 1, 0, 1, 5, 4, 3]
+
+
+def test_hamming64():
+    assert ref.hamming64(0, 0) == 0
+    assert ref.hamming64(0xFFFFFFFFFFFFFFFF, 0) == 64
+    assert ref.hamming64(0b1011, 0b0010) == 2
+
+
+def test_dct_hash_np_basic(images):
+    hashes = [ref.dct_hash64(img) for img in images]
+    for h in hashes:
+        assert 0 < h < 2**64
+        assert h & 1 == 0 or h == 1  # bit 0 only used by the null convention
+    # structured distinct images should not collide
+    assert len(set(hashes)) == len(hashes)
+
+
+def test_jax_matches_numpy_golden(images):
+    canvas, sizes = pack_canvas(images, 512, 512)
+    pairs, _ = hash_batch(canvas, sizes, do_crop=False)
+    got = combine_u32(np.asarray(pairs))
+    want = np.array([ref.dct_hash64(img) for img in images], dtype=np.uint64)
+    # float32 vs float64 may flip coefficients that sit exactly at the
+    # threshold; allow a tiny hamming slack instead of bit equality
+    for g, w in zip(got, want):
+        assert ref.hamming64(int(g), int(w)) <= 1
+
+
+def test_scale_robustness(rng, images):
+    """A rescaled image must hash within the default search threshold (5) of
+    the original — the property the reference's 5-size fixture corpus tests."""
+    from PIL import Image
+    img = images[0]
+    h = ref.dct_hash64(img)
+    for scale in (0.5, 0.75, 1.25):
+        im = Image.fromarray(img).resize(
+            (int(img.shape[1] * scale), int(img.shape[0] * scale)), Image.BOX)
+        h2 = ref.dct_hash64(np.asarray(im))
+        assert ref.hamming64(h, h2) <= 5, f"scale {scale}"
+
+
+def test_hasher_batching(images):
+    hasher = DctHasher(canvas_hw=(512, 512), batch=3)
+    got = hasher.hash_images(images)
+    want = np.array([ref.dct_hash64(img) for img in images], dtype=np.uint64)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert ref.hamming64(int(g), int(w)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# autocrop
+# ---------------------------------------------------------------------------
+
+def _letterbox(img, t, b, l, r, color=0):
+    h, w = img.shape
+    out = np.full((h + t + b, w + l + r), color, dtype=np.uint8)
+    out[t:t + h, l:l + w] = img
+    return out
+
+
+def test_autocrop_np_letterbox(images):
+    img = images[0]  # 400x400
+    boxed = _letterbox(img, 40, 40, 0, 0)
+    t, b, l, r = ref.autocrop_box(boxed, 20)
+    assert (t, b) == (40, 440)
+    assert (l, r) == (0, 400)
+
+
+def test_autocrop_np_pillarbox(images):
+    img = images[1]  # 300x450
+    boxed = _letterbox(img, 0, 0, 50, 50, color=255)
+    t, b, l, r = ref.autocrop_box(boxed, 20)
+    assert (l, r) == (50, 500)
+    assert (t, b) == (0, 300)
+
+
+def test_autocrop_np_no_crop(rng):
+    # noisy images have no 66% border-color runs, so no crop may occur
+    for shape in [(200, 300), (120, 120)]:
+        img = rng.integers(0, 255, size=shape).astype(np.uint8)
+        t, b, l, r = ref.autocrop_box(img, 20)
+        assert (t, b, l, r) == (0, img.shape[0], 0, img.shape[1])
+
+
+def test_autocrop_np_unbalanced_recenter(images):
+    # heavy top-only letterbox: reference refuses one-sided crops unless the
+    # other axis crops; verify we never produce an invalid box
+    img = images[0]
+    boxed = _letterbox(img, 100, 0, 0, 0)
+    t, b, l, r = ref.autocrop_box(boxed, 20)
+    assert 0 <= t < b <= boxed.shape[0]
+    assert 0 <= l < r <= boxed.shape[1]
+
+
+def test_autocrop_jax_matches_numpy(images):
+    cases = []
+    cases.append(_letterbox(images[0], 40, 40, 0, 0))
+    cases.append(_letterbox(images[1], 0, 0, 50, 50, color=255))
+    cases.append(_letterbox(images[2], 30, 34, 20, 20, color=10))
+    cases.append(images[0])
+    cases.append(_letterbox(images[3], 10, 10, 10, 10))
+    canvas, sizes = pack_canvas(cases, 560, 560)
+    boxes = np.asarray(autocrop_boxes(canvas, sizes, 20))
+    for i, img in enumerate(cases):
+        want = ref.autocrop_box(img, 20)
+        assert tuple(boxes[i]) == want, f"case {i}: {tuple(boxes[i])} != {want}"
+
+
+def test_autocrop_then_hash_matches(images):
+    img = _letterbox(images[0], 40, 40, 0, 0)
+    canvas, sizes = pack_canvas([img], 560, 560)
+    pairs, boxes = hash_batch(canvas, sizes, do_crop=True)
+    got = int(combine_u32(np.asarray(pairs))[0])
+    t, b, l, r = ref.autocrop_box(img, 20)
+    want = ref.dct_hash64(img[t:b, l:r])
+    assert ref.hamming64(got, want) <= 1
+    # and the crop recovers (close to) the original image's hash
+    want_orig = ref.dct_hash64(images[0])
+    assert ref.hamming64(got, want_orig) <= 2
