@@ -1,0 +1,366 @@
+"""cbird-compatible command line: a positional, order-sensitive interpreter.
+
+Rebuild of the reference CLI (/root/reference/src/main.cpp:612-1839): each
+argument mutates shared state (index dir, SearchParams, IndexParams, the
+current selection and query result); commands execute in the order given, so
+``cbird -use dir -update -similar -dump`` scans then searches then prints.
+
+Saved-argument files are honored like the reference (~/.config/cbird/args.txt
+then <index>/_index/args.txt then the command line; src/main.cpp:696-712).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shlex
+import sys
+
+from .. import __version__
+from ..params import IndexParams, ParamError, SearchParams
+from ..store.media import (Media, group_by, property_func, sort_group,
+                           sort_group_list)
+from ..utils.log import error, info, set_verbosity, warn
+
+USAGE = """cbird-tpu %s — TPU-native content-based image/video duplicate finder
+
+usage: cbird [args...]   (arguments are executed in order)
+
+  index:
+    -use <dir>          select index directory (default: cwd)
+    -create             create an index in the selected directory
+    -update             scan for new/changed/removed files and index them
+    -remove <selector>  remove selection from the index (not files)
+    -vacuum             compact databases
+    -verify             re-check md5 of every indexed file
+
+  search:
+    -similar            find similar groups within the whole index
+    -similar-to <file>  find items similar to file/dir (needle)
+    -dups               find exact duplicates (md5)
+
+  selection/results:
+    -select-all         select all indexed media
+    -select-path <dir>  select indexed media under directory
+    -select-errors      select files that failed indexing
+    -sort <prop>        sort current result groups by property
+    -group-by <prop>    group current selection by property expression
+    -head <n> / -tail <n>  keep first/last n groups
+    -dump               print result groups as text
+    -json               print result groups as JSON
+    -count              print number of groups/items
+
+  parameters:
+    -p.<key> <value>    search parameter (see -list-params)
+    -i.<key> <value>    index parameter (see -list-index-params)
+    -list-params        show search parameters
+    -list-index-params  show index parameters
+
+  misc:
+    -about              versions and limits
+    -args <file>        insert arguments from file
+    -v / -q             verbose / quiet logging
+    -h, -help           this text
+""" % __version__
+
+
+class Cli:
+    def __init__(self):
+        self.index_dir = os.getcwd()
+        self.search = SearchParams()
+        self.index = IndexParams()
+        self.selection: list[Media] = []
+        self.result: list[list[Media]] = []
+        self._engine = None
+
+    # lazy engine (reference lazy global Engine&, src/main.cpp:540-559)
+    def engine(self):
+        if self._engine is None:
+            from ..host.engine import Engine
+            idx = os.path.join(self.index_dir, "_index")
+            if not os.path.isdir(idx):
+                error(f"no index found in {self.index_dir} (use -create)")
+                sys.exit(2)
+            self._engine = Engine(self.index_dir, self.index)
+        return self._engine
+
+    def run(self, args: list[str]) -> int:
+        args = self._inject_saved_args(args)
+        i = 0
+        try:
+            while i < len(args):
+                i = self._dispatch(args, i)
+        except ParamError as e:
+            error(str(e))
+            return 2
+        except (FileNotFoundError, KeyError) as e:
+            error(str(e))
+            return 2
+        return 0
+
+    def _inject_saved_args(self, args: list[str]) -> list[str]:
+        out: list[str] = []
+        for f in (os.path.expanduser("~/.config/cbird/args.txt"),
+                  os.path.join(self.index_dir, "_index", "args.txt")):
+            if os.path.isfile(f):
+                with open(f) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line and not line.startswith("#"):
+                            out += shlex.split(line)
+        return out + args
+
+    def _need(self, args: list[str], i: int, what: str) -> str:
+        if i + 1 >= len(args):
+            raise ParamError(f"{args[i]} requires {what}")
+        return args[i + 1]
+
+    # ---- dispatch --------------------------------------------------------
+    def _dispatch(self, args: list[str], i: int) -> int:
+        a = args[i]
+
+        if a in ("-h", "-help", "--help"):
+            print(USAGE)
+            return i + 1
+        if a in ("-version", "--version"):
+            print(__version__)
+            return i + 1
+        if a == "-v":
+            set_verbosity("debug")
+            self.search.verbose = True
+            self.index.verbose = True
+            return i + 1
+        if a == "-q":
+            set_verbosity("error")
+            return i + 1
+        if a == "-about":
+            self._about()
+            return i + 1
+        if a == "-args":
+            f = self._need(args, i, "a file")
+            with open(f) as fh:
+                extra = []
+                for line in fh:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        extra += shlex.split(line)
+            args[i + 2:i + 2] = extra
+            return i + 2
+
+        if a.startswith("-p."):
+            self.search.set_param(a[3:], self._need(args, i, "a value"))
+            return i + 2
+        if a.startswith("-i."):
+            self.index.set_param(a[3:], self._need(args, i, "a value"))
+            return i + 2
+        if a == "-list-params":
+            print(self.search.help_text())
+            return i + 1
+        if a == "-list-index-params":
+            print(self.index.help_text())
+            return i + 1
+
+        if a == "-use":
+            d = self._need(args, i, "a directory")
+            if not os.path.isdir(d):
+                raise FileNotFoundError(f"directory does not exist: {d}")
+            self.index_dir = os.path.abspath(d)
+            self._engine = None
+            return i + 2
+        if a == "-create":
+            os.makedirs(os.path.join(self.index_dir, "_index"), exist_ok=True)
+            from ..host.engine import Engine
+            self._engine = Engine(self.index_dir, self.index)
+            info(f"created index in {self.index_dir}")
+            return i + 1
+        if a == "-update":
+            stats = self.engine().update()
+            info(f"added {stats['added']}, removed {stats['removed']}, "
+                 f"modified {stats['modified']}, errors {len(stats['errors'])}")
+            return i + 1
+        if a == "-vacuum":
+            self.engine().db.vacuum()
+            return i + 1
+        if a == "-verify":
+            self._verify()
+            return i + 1
+        if a == "-remove":
+            sel = self._need(args, i, "a selector")
+            media = self._select(sel)
+            self.engine().db.remove([m.id for m in media if m.id])
+            info(f"removed {len(media)} items from index")
+            return i + 2
+
+        if a == "-similar":
+            self.result = self.engine().db.similar(self.search)
+            info(f"{len(self.result)} groups")
+            return i + 1
+        if a == "-similar-to":
+            target = self._need(args, i, "a file")
+            # prefer the indexed record so the needle row carries id/md5/hash
+            needle = self.engine().db.media_with_path(os.path.abspath(target))
+            if not needle.is_valid():
+                needle = Media(os.path.abspath(target))
+            group = self.engine().query(needle, self.search)
+            self.result = [[needle] + group] if group else []
+            info(f"{sum(len(g) - 1 for g in self.result)} matches")
+            return i + 2
+        if a == "-dups":
+            self.result = self.engine().db.dups_by_md5(self.search)
+            info(f"{len(self.result)} duplicate groups")
+            return i + 1
+
+        if a == "-select-all":
+            self.selection = self.engine().db.all_media()
+            self.result = [self.selection] if self.selection else []
+            return i + 1
+        if a == "-select-path":
+            d = self._need(args, i, "a directory")
+            prefix = os.path.abspath(os.path.join(self.index_dir, d))
+            self.selection = [m for m in self.engine().db.all_media()
+                              if m.path.startswith(prefix)]
+            self.result = [self.selection] if self.selection else []
+            return i + 2
+        if a == "-select-errors":
+            errs = self.engine().scanner.errors()
+            self.selection = [Media(p) for p in errs]
+            self.result = [[Media(p)] for p in sorted(errs)]
+            return i + 1
+
+        if a == "-sort":
+            prop = self._need(args, i, "a property")
+            rev = prop.startswith("^")
+            sort_group_list(self.result, [prop.lstrip("^")])
+            if rev:
+                self.result.reverse()
+            return i + 2
+        if a == "-group-by":
+            prop = self._need(args, i, "a property expression")
+            flat = [m for g in self.result for m in g] or self.selection
+            self.result = group_by(flat, prop)
+            return i + 2
+        if a == "-head":
+            n = int(self._need(args, i, "a number"))
+            self.result = self.result[:n]
+            return i + 2
+        if a == "-tail":
+            n = int(self._need(args, i, "a number"))
+            self.result = self.result[-n:] if n else []
+            return i + 2
+
+        if a == "-dump":
+            self._dump_text()
+            return i + 1
+        if a == "-json":
+            self._dump_json()
+            return i + 1
+        if a == "-count":
+            items = sum(len(g) for g in self.result)
+            print(f"{len(self.result)} groups, {items} items")
+            return i + 1
+
+        raise ParamError(f"unknown argument: {a} (see -help)")
+
+    # ---- helpers ---------------------------------------------------------
+    def _select(self, selector: str) -> list[Media]:
+        db = self.engine().db
+        if selector == "all":
+            return db.all_media()
+        path = os.path.abspath(os.path.join(self.index_dir, selector))
+        if os.path.isdir(path):
+            return [m for m in db.all_media() if m.path.startswith(path)]
+        m = db.media_with_path(path)
+        return [m] if m.is_valid() else []
+
+    def _about(self) -> None:
+        import jax
+        print(f"cbird-tpu {__version__}")
+        print(f"jax {jax.__version__}; devices: "
+              f"{[str(d) for d in jax.devices()]}")
+        print("capacity: 2^31 media ids; 2^24 videos; 2^24 frames/video")
+        idx = os.path.join(self.index_dir, "_index")
+        if os.path.isdir(idx):
+            eng = self.engine()
+            print(f"index: {idx}")
+            print(f"items: {eng.db.count()}")
+            print(f"memory: {eng.db.memory_usage()} bytes")
+
+    def _verify(self) -> None:
+        """Re-check stored md5 of every indexed file (reference -verify,
+        src/commands.cpp:574-638)."""
+        from ..store.ioutil import image_content_md5
+        from ..host.scanner import read_bytes
+        db = self.engine().db
+        bad = 0
+        for m in db.all_media():
+            try:
+                data = read_bytes(m.path)
+            except (OSError, KeyError):
+                warn(f"missing: {m.path}")
+                bad += 1
+                continue
+            if m.type == Media.TypeImage:
+                digest, _, _ = image_content_md5(data)
+            else:
+                from ..store.ioutil import full_md5
+                digest = full_md5(data)
+            if digest != m.md5:
+                warn(f"md5 mismatch: {m.path}")
+                bad += 1
+        info(f"verify: {bad} problems in {db.count()} items")
+
+    def _dump_text(self) -> None:
+        for n, group in enumerate(self.result):
+            if not group:
+                continue
+            print(f"=== group {n} ({len(group)} items) ===")
+            for j, m in enumerate(group):
+                score = f" score={m.score}" if m.score >= 0 else ""
+                rng = ""
+                if m.matchRange.is_valid():
+                    rng = f" frames[{m.matchRange.srcIn}->{m.matchRange.dstIn}" \
+                          f"+{m.matchRange.len}]"
+                weed = " (weed)" if m.isWeed else ""
+                tag = "needle" if j == 0 else "match"
+                print(f"  {tag}: {m.path}{score}{rng}{weed}")
+
+    def _dump_json(self) -> None:
+        out = []
+        for group in self.result:
+            if not group:
+                continue
+            def enc(m: Media) -> dict:
+                d = {"id": m.id, "path": m.path, "type": m.type,
+                     "width": m.width, "height": m.height, "md5": m.md5,
+                     "dctHash": f"{int(m.dctHash):016x}" if m.dctHash else None}
+                if m.score >= 0:
+                    d["score"] = m.score
+                if m.matchRange.is_valid():
+                    d["range"] = [m.matchRange.srcIn, m.matchRange.dstIn,
+                                  m.matchRange.len]
+                if m.isWeed:
+                    d["isWeed"] = True
+                return d
+            out.append({"needle": enc(group[0]),
+                        "matches": [enc(m) for m in group[1:]]})
+        print(json.dumps(out, indent=1))
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(USAGE)
+        return 0
+    try:
+        return Cli().run(list(argv))
+    except BrokenPipeError:
+        # stdout consumer (e.g. `| head`) closed early — not an error
+        try:
+            sys.stdout.close()
+        except OSError:
+            pass
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""DCT hash index — algo 0 (`-p.alg dct`).
+
+Rebuild of the reference DctHashIndex (/root/reference/src/dcthashindex.{h,cpp}):
+one 64-bit perceptual hash per image, threshold search by Hamming distance.
+The reference keeps malloc'd parallel arrays + a VP-tree; here the arrays are
+a device-resident PackedHashStore scanned brute-force in batches
+(SURVEY.md §6: one HBM pass over 10M hashes ≈ 0.1 ms — trees lose).
+
+Storage: the hash lives in the ``media`` table's ``phash_dct`` column of
+media0.db (databaseId 0, shared with the Database schema — reference
+src/dcthashindex.h databaseId()==0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.hamming import PackedHashStore
+from ..params import FLAG_IMAGE, SearchParams, TYPE_IMAGE
+from ..store.media import Media
+from .base import Index, Match
+
+
+class DctHashIndex(Index):
+    id = SearchParams.ALGO_DCT
+
+    def __init__(self) -> None:
+        self._store = PackedHashStore()
+        self._loaded = False
+
+    # ---- status ----------------------------------------------------------
+    def is_loaded(self) -> bool:
+        return self._loaded
+
+    def memory_usage(self) -> int:
+        return self._store.memory_usage()
+
+    def count(self) -> int:
+        return int(np.count_nonzero(self._store.ids))
+
+    def database_id(self) -> int:
+        return 0
+
+    # ---- sql persistence (hash is a column of the media table) -----------
+    def sql_media_ids(self, conn, cache_path: str, data_path: str) -> set[int]:
+        rows = conn.execute(
+            "select id from media where type=? and phash_dct != 0",
+            (TYPE_IMAGE,)).fetchall()
+        return {r[0] for r in rows}
+
+    # ---- memory lifecycle ------------------------------------------------
+    def load(self, conn, cache_path: str, data_path: str) -> None:
+        rows = conn.execute(
+            "select id, phash_dct from media where type=? and phash_dct != 0",
+            (TYPE_IMAGE,)).fetchall()
+        ids = np.array([r[0] for r in rows], dtype=np.uint32)
+        hashes = np.array([np.uint64(r[1] & 0xFFFFFFFFFFFFFFFF) for r in rows],
+                          dtype=np.uint64)
+        self._store = PackedHashStore(hashes, ids)
+        self._loaded = True
+
+    def add(self, media: list[Media]) -> None:
+        items = [(m.id, np.uint64(m.dctHash)) for m in media
+                 if m.type == TYPE_IMAGE and m.dctHash]
+        if items:
+            self._store.add(np.array([h for _, h in items], dtype=np.uint64),
+                            np.array([i for i, _ in items], dtype=np.uint32))
+
+    def remove(self, media_ids: list[int]) -> None:
+        self._store.remove(media_ids)
+
+    # ---- search ----------------------------------------------------------
+    def find(self, needle: Media, params: SearchParams) -> list[Match]:
+        return self.find_batch([needle], params)[0]
+
+    def find_batch(self, needles: list[Media], params: SearchParams) -> list[list[Match]]:
+        hashes = np.array([np.uint64(n.dctHash) for n in needles], dtype=np.uint64)
+        # cap on raw hits per needle; post-filtering (self, weeds, paths) can
+        # consume a few, so fetch a margin above maxMatches
+        k = max(params.maxMatches * 4, 64)
+        raw = self._store.search(hashes, params.dctThresh, k=k)
+        out: list[list[Match]] = []
+        for n, (ids, dists) in zip(needles, raw):
+            if not n.dctHash:
+                out.append([])
+                continue
+            out.append([Match(int(i), int(d)) for i, d in zip(ids, dists)])
+        return out
+
+    def find_index_data(self, media: Media) -> bool:
+        if media.id and not media.dctHash:
+            hits = np.nonzero(self._store.ids == media.id)[0]
+            if len(hits):
+                media.dctHash = int(self._store.hashes[hits[0]])
+                return True
+        return False
+
+    def slice(self, media_ids: set[int]) -> "DctHashIndex":
+        chunk = DctHashIndex()
+        chunk._store = self._store.slice(media_ids)
+        chunk._loaded = True
+        return chunk
+
+    def result_types(self) -> int:
+        return FLAG_IMAGE

@@ -1,0 +1,224 @@
+"""Batched Hamming search over packed 64-bit hash arrays (JAX/XLA).
+
+TPU-first replacement for the reference's search *trees* — VpTree
+(/root/reference/src/tree/vptree.h), HammingTree (src/tree/hammingtree.h),
+RadixMap (src/tree/radix.h) and the scalar hamm64 inner loop
+(src/hamm.h:24-26).
+
+Design (SURVEY.md §6-7): at TPU batch widths a brute-force scan beats
+pointer-chasing trees — 10M hashes are 80 MB, one HBM pass at ~1 TB/s is
+~0.1 ms, three orders under the reference's latency budget.  So the index
+is a packed [N, 2]-uint32 array (TPUs have no 64-bit lanes) kept in HBM; a
+query is XOR + population_count on the VPU against a [Q]-needle batch, with
+a streaming per-needle top-k merge so the [Q, N] distance matrix never
+materializes.
+
+Removal is tombstoning via a validity mask (the reference zeroes ids,
+src/dcthashindex.cpp:183-190); invalid rows score BAD_DIST and fall out of
+every top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dct_hash import combine_u32, split_u64
+
+# larger than any valid distance (max real distance is 64)
+BAD_DIST = np.int32(0x7FFF)
+
+
+def _chunk_dists(n_lo, n_hi, h_lo, h_hi):
+    """[Q] needles vs [C] haystack rows → [Q, C] int32 distances."""
+    x = jax.lax.population_count(jnp.bitwise_xor(n_lo[:, None], h_lo[None, :]))
+    y = jax.lax.population_count(jnp.bitwise_xor(n_hi[:, None], h_hi[None, :]))
+    return (x + y).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
+                 valid: jnp.ndarray, k: int = 64, chunk: int = 1 << 16):
+    """Per-needle k nearest haystack rows by Hamming distance.
+
+    needles  [Q, 2] uint32 (lo, hi)
+    haystack [N, 2] uint32
+    valid    [N] bool — False rows (tombstones/padding) never match
+    @return (dists [Q, k] int32 ascending, indices [Q, k] int32);
+            missing entries have distance BAD_DIST
+    """
+    q = needles.shape[0]
+    n = haystack.shape[0]
+    k = min(k, max(n, 1))
+    n_lo, n_hi = needles[:, 0], needles[:, 1]
+
+    if n == 0:
+        return (jnp.full((q, k), BAD_DIST, jnp.int32),
+                jnp.full((q, k), -1, jnp.int32))
+
+    # pad haystack to a chunk multiple; padded rows are invalid
+    n_pad = -n % chunk if n > chunk else 0
+    if n <= chunk:
+        d = _chunk_dists(n_lo, n_hi, haystack[:, 0], haystack[:, 1])
+        d = jnp.where(valid[None, :], d, BAD_DIST)
+        neg_d, idx = jax.lax.top_k(-d, k)
+        return -neg_d, idx
+
+    if n_pad:
+        haystack = jnp.pad(haystack, ((0, n_pad), (0, 0)))
+        valid = jnp.pad(valid, (0, n_pad))
+    n_chunks = haystack.shape[0] // chunk
+    hs = haystack.reshape(n_chunks, chunk, 2)
+    vs = valid.reshape(n_chunks, chunk)
+    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+
+    init = (jnp.full((q, k), BAD_DIST, jnp.int32), jnp.full((q, k), -1, jnp.int32))
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        hs_c, vs_c, base = inp
+        d = _chunk_dists(n_lo, n_hi, hs_c[:, 0], hs_c[:, 1])
+        d = jnp.where(vs_c[None, :], d, BAD_DIST)
+        idx = base + jnp.arange(chunk, dtype=jnp.int32)
+        all_d = jnp.concatenate([best_d, d], axis=1)
+        all_i = jnp.concatenate([best_i, jnp.broadcast_to(idx[None, :], (q, chunk))],
+                                axis=1)
+        neg_d, sel = jax.lax.top_k(-all_d, k)
+        return (-neg_d, jnp.take_along_axis(all_i, sel, axis=1)), None
+
+    (best_d, best_i), _ = jax.lax.scan(body, init, (hs, vs, bases))
+    return best_d, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def hamming_count_below(needles: jnp.ndarray, haystack: jnp.ndarray,
+                        valid: jnp.ndarray, threshold: jnp.ndarray,
+                        chunk: int = 1 << 16):
+    """Per-needle count of rows with distance < threshold (diagnostics/stats)."""
+    n_lo, n_hi = needles[:, 0], needles[:, 1]
+    n = haystack.shape[0]
+    n_pad = -n % chunk
+    if n_pad:
+        haystack = jnp.pad(haystack, ((0, n_pad), (0, 0)))
+        valid = jnp.pad(valid, (0, n_pad))
+    hs = haystack.reshape(-1, chunk, 2)
+    vs = valid.reshape(-1, chunk)
+
+    def body(acc, inp):
+        hs_c, vs_c = inp
+        d = _chunk_dists(n_lo, n_hi, hs_c[:, 0], hs_c[:, 1])
+        hit = (d < threshold) & vs_c[None, :]
+        return acc + hit.sum(axis=1, dtype=jnp.int32), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(needles.shape[0], jnp.int32), (hs, vs))
+    return acc
+
+
+def _bucket(n: int, minimum: int = 1024) -> int:
+    """Round up to a power of two to bound the number of compiled shapes."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class PackedHashStore:
+    """Device-resident packed hash index with tombstone removal.
+
+    The TPU-native equivalent of DctHashIndex's parallel arrays
+    (/root/reference/src/dcthashindex.cpp:70-114): one [N, 2] uint32 hash
+    array + one [N] uint32 media-id array, padded to a power-of-two bucket
+    so searches reuse compiled programs.  add() appends, remove() tombstones
+    in place, slice() builds a subset copy — matching the Index contract
+    (src/index.h:237-270).
+    """
+
+    def __init__(self, hashes: np.ndarray | None = None,
+                 ids: np.ndarray | None = None):
+        self._hashes = np.zeros(0, dtype=np.uint64)
+        self._ids = np.zeros(0, dtype=np.uint32)
+        self._dev = None  # (hashes [N,2] u32, valid [N] bool) on device
+        if hashes is not None and len(hashes):
+            self._hashes = np.asarray(hashes, dtype=np.uint64).copy()
+            self._ids = np.asarray(ids, dtype=np.uint32).copy()
+
+    def __len__(self) -> int:
+        return len(self._hashes)
+
+    @property
+    def ids(self) -> np.ndarray:
+        return self._ids
+
+    @property
+    def hashes(self) -> np.ndarray:
+        return self._hashes
+
+    def memory_usage(self) -> int:
+        return self._hashes.nbytes + self._ids.nbytes
+
+    def add(self, hashes: np.ndarray, ids: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        self._hashes = np.concatenate(
+            [self._hashes, np.asarray(hashes, dtype=np.uint64)])
+        self._ids = np.concatenate([self._ids, np.asarray(ids, dtype=np.uint32)])
+        self._dev = None
+
+    def remove(self, ids) -> None:
+        """Tombstone by media id (reference zeroes id+hash, keeps the slot)."""
+        if len(self._ids) == 0:
+            return
+        kill = np.isin(self._ids, np.asarray(list(ids), dtype=np.uint32))
+        if kill.any():
+            self._ids[kill] = 0
+            self._hashes[kill] = 0
+            self._dev = None
+
+    def slice(self, media_ids) -> "PackedHashStore":
+        keep = np.isin(self._ids, np.asarray(list(media_ids), dtype=np.uint32))
+        keep &= self._ids != 0
+        return PackedHashStore(self._hashes[keep], self._ids[keep])
+
+    def _device_arrays(self):
+        if self._dev is None:
+            n = len(self._hashes)
+            b = _bucket(max(n, 1))
+            pairs = np.zeros((b, 2), dtype=np.uint32)
+            valid = np.zeros(b, dtype=bool)
+            if n:
+                pairs[:n] = split_u64(self._hashes)
+                valid[:n] = self._ids != 0
+            self._dev = (jnp.asarray(pairs), jnp.asarray(valid))
+        return self._dev
+
+    def search(self, needle_hashes: np.ndarray, threshold: int, k: int = 64,
+               needle_batch: int = 256):
+        """Batched threshold search.
+
+        @param needle_hashes [Q] uint64
+        @return list (len Q) of (ids [m] uint32, dists [m] int32) with
+                dist < threshold, ascending by distance, capped at k
+        """
+        q_total = len(needle_hashes)
+        if q_total == 0 or len(self._hashes) == 0:
+            return [(np.zeros(0, np.uint32), np.zeros(0, np.int32))] * q_total
+        pairs_dev, valid_dev = self._device_arrays()
+        k = min(k, len(self._hashes))
+        results = []
+        needles = split_u64(np.asarray(needle_hashes, dtype=np.uint64))
+        for s in range(0, q_total, needle_batch):
+            nb = needles[s:s + needle_batch]
+            qb = _bucket(nb.shape[0], 64)
+            if nb.shape[0] < qb:
+                nb = np.pad(nb, ((0, qb - nb.shape[0]), (0, 0)))
+            d, i = hamming_topk(jnp.asarray(nb), pairs_dev, valid_dev, k=k)
+            d = np.asarray(d)
+            i = np.asarray(i)
+            for row in range(min(needle_batch, q_total - s)):
+                hit = d[row] < threshold
+                idx = i[row][hit]
+                results.append((self._ids[idx], d[row][hit]))
+        return results

@@ -1,0 +1,135 @@
+"""CLI surface: positional order-sensitive interpreter, cbird verbs + params
+(reference src/main.cpp:612-1839)."""
+
+import json
+import os
+
+import pytest
+
+from cbird_tpu.cli.main import Cli, main
+
+from fixtures import make_corpus
+
+
+@pytest.fixture(scope="module")
+def indexed_corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli_corpus"))
+    groups = make_corpus(root, n_base=4, scales=(1.0, 0.5))
+    rc = main(["-use", root, "-i.algos", "dct", "-i.fsize", "128",
+               "-create", "-update"])
+    assert rc == 0
+    return root, groups
+
+
+def test_help_and_version(capsys):
+    assert main(["-help"]) == 0
+    out = capsys.readouterr().out
+    assert "-similar" in out and "-update" in out
+    assert main(["-version"]) == 0
+
+
+def test_list_params(capsys):
+    assert main(["-list-params"]) == 0
+    out = capsys.readouterr().out
+    assert "dht" in out
+    assert main(["-list-index-params"]) == 0
+    out = capsys.readouterr().out
+    assert "rsize" in out
+
+
+def test_unknown_arg():
+    assert main(["-bogus"]) == 2
+
+
+def test_missing_value():
+    assert main(["-p.dht"]) == 2
+
+
+def test_similar_dump(indexed_corpus, capsys):
+    root, groups = indexed_corpus
+    rc = main(["-use", root, "-similar", "-dump"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "=== group" in out
+    assert "needle:" in out and "match:" in out
+
+
+def test_similar_json(indexed_corpus, capsys):
+    root, groups = indexed_corpus
+    rc = main(["-use", root, "-similar", "-json"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data
+    for g in data:
+        assert "needle" in g and "matches" in g
+        assert g["needle"]["md5"]
+        assert g["needle"]["dctHash"]
+        for m in g["matches"]:
+            assert "score" in m
+
+
+def test_similar_to(indexed_corpus, capsys):
+    root, groups = indexed_corpus
+    needle = groups["img000"][0]
+    rc = main(["-use", root, "-similar-to", needle, "-json"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert len(data) == 1
+    paths = [m["path"] for m in data[0]["matches"]]
+    assert groups["img000"][1] in paths
+
+
+def test_param_ordering_matters(indexed_corpus, capsys):
+    """-p.dht 0 disables matches when set before -similar."""
+    root, groups = indexed_corpus
+    rc = main(["-use", root, "-p.dht", "1", "-similar", "-count"])
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    rc = main(["-use", root, "-p.dht", "12", "-similar", "-count"])
+    out2 = capsys.readouterr().out
+    n1 = int(out1.split()[0])
+    n2 = int(out2.split()[0])
+    assert n2 >= n1
+
+
+def test_select_and_group_by(indexed_corpus, capsys):
+    root, groups = indexed_corpus
+    rc = main(["-use", root, "-select-all", "-group-by", "suffix", "-count"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("1 groups")  # all png
+
+
+def test_head_sort(indexed_corpus, capsys):
+    root, groups = indexed_corpus
+    rc = main(["-use", root, "-similar", "-sort", "path", "-head", "2",
+               "-count"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("2 groups")
+
+
+def test_verify_clean(indexed_corpus, capsys):
+    root, _ = indexed_corpus
+    assert main(["-use", root, "-verify"]) == 0
+
+
+def test_about(indexed_corpus, capsys):
+    root, _ = indexed_corpus
+    assert main(["-use", root, "-about"]) == 0
+    out = capsys.readouterr().out
+    assert "cbird-tpu" in out and "items:" in out
+
+
+def test_no_index_error(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["-use", str(tmp_path), "-similar"])
+
+
+def test_args_file(indexed_corpus, tmp_path, capsys):
+    root, _ = indexed_corpus
+    f = tmp_path / "saved.txt"
+    f.write_text("-p.dht 9\n# comment\n-similar\n-count\n")
+    rc = main(["-use", root, "-args", str(f)])
+    assert rc == 0
+    assert "groups" in capsys.readouterr().out

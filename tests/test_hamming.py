@@ -1,0 +1,129 @@
+"""Hamming scan kernel + packed store: brute-force numpy equivalence,
+threshold semantics, tombstone removal, slice (reference Index contract,
+src/index.h:237-270; baseTestAddRemove in unit/testindexbase.cpp)."""
+
+import numpy as np
+import pytest
+
+from cbird_tpu.ops.dct_hash import split_u64
+from cbird_tpu.ops.hamming import (BAD_DIST, PackedHashStore, hamming_count_below,
+                                   hamming_topk)
+from cbird_tpu.ops.ref_numpy import hamming64
+
+import jax.numpy as jnp
+
+
+def _rand_hashes(rng, n):
+    return rng.integers(1, 2**64, size=n, dtype=np.uint64)
+
+
+def _np_dists(needles, haystack):
+    x = needles[:, None] ^ haystack[None, :]
+    return np.array([[bin(int(v)).count("1") for v in row] for row in x],
+                    dtype=np.int32)
+
+
+def test_topk_matches_numpy(rng):
+    needles = _rand_hashes(rng, 7)
+    haystack = _rand_hashes(rng, 300)
+    d, i = hamming_topk(jnp.asarray(split_u64(needles)),
+                        jnp.asarray(split_u64(haystack)),
+                        jnp.ones(300, bool), k=10)
+    d, i = np.asarray(d), np.asarray(i)
+    want = _np_dists(needles, haystack)
+    for q in range(7):
+        expect = np.sort(want[q])[:10]
+        assert list(d[q]) == list(expect)
+        # indices give those distances
+        assert all(want[q, i[q][j]] == d[q][j] for j in range(10))
+
+
+def test_topk_streaming_chunks(rng):
+    """multi-chunk scan path must agree with the single-block path."""
+    needles = _rand_hashes(rng, 5)
+    haystack = _rand_hashes(rng, 700)
+    nv = jnp.asarray(split_u64(needles))
+    hv = jnp.asarray(split_u64(haystack))
+    valid = jnp.ones(700, bool)
+    d1, i1 = hamming_topk(nv, hv, valid, k=8)
+    d2, i2 = hamming_topk(nv, hv, valid, k=8, chunk=128)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    # indices may differ among equal distances; distances must agree
+
+
+def test_topk_invalid_masked(rng):
+    needles = _rand_hashes(rng, 3)
+    haystack = np.concatenate([needles, _rand_hashes(rng, 20)])
+    valid = np.ones(23, bool)
+    valid[:3] = False  # exact matches are tombstoned
+    d, i = hamming_topk(jnp.asarray(split_u64(needles)),
+                        jnp.asarray(split_u64(haystack)),
+                        jnp.asarray(valid), k=23)
+    d = np.asarray(d)
+    # distance-0 self matches must not appear
+    for q in range(3):
+        assert d[q][0] > 0 or int(needles[q]) in list(haystack[3:])
+
+
+def test_count_below(rng):
+    needles = _rand_hashes(rng, 4)
+    haystack = _rand_hashes(rng, 500)
+    got = np.asarray(hamming_count_below(
+        jnp.asarray(split_u64(needles)), jnp.asarray(split_u64(haystack)),
+        jnp.ones(500, bool), jnp.int32(30), chunk=128))
+    want = (_np_dists(needles, haystack) < 30).sum(axis=1)
+    assert list(got) == list(want)
+
+
+def test_store_search_threshold(rng):
+    base = _rand_hashes(rng, 100)
+    ids = np.arange(1, 101, dtype=np.uint32)
+    store = PackedHashStore(base, ids)
+    # needle = perturbed copy of item 5 (flip 3 bits)
+    needle = int(base[4]) ^ 0b10110
+    res = store.search(np.array([needle], dtype=np.uint64), threshold=5)
+    rids, rdists = res[0]
+    assert 5 in rids
+    assert rdists[list(rids).index(5)] == 3
+    # ascending distances
+    assert list(rdists) == sorted(rdists)
+
+
+def test_store_add_remove_readd(rng):
+    """remove 3 → absent from results → re-add → results identical
+    (reference baseTestAddRemove)."""
+    base = _rand_hashes(rng, 60)
+    ids = np.arange(1, 61, dtype=np.uint32)
+    store = PackedHashStore(base, ids)
+    needles = base[:6]
+    before = store.search(needles, threshold=65, k=60)
+
+    kill = [2, 3, 4]
+    store.remove(kill)
+    during = store.search(needles, threshold=65, k=60)
+    for rids, _ in during:
+        assert not (set(kill) & set(rids.tolist()))
+
+    store.add(base[1:4], ids[1:4])  # ids 2,3,4
+    after = store.search(needles, threshold=65, k=60)
+    for (ra, da), (rb, db) in zip(before, after):
+        assert sorted(ra.tolist()) == sorted(rb.tolist())
+        assert sorted(da.tolist()) == sorted(db.tolist())
+
+
+def test_store_slice(rng):
+    base = _rand_hashes(rng, 50)
+    ids = np.arange(1, 51, dtype=np.uint32)
+    store = PackedHashStore(base, ids)
+    sub = store.slice({10, 11, 12})
+    assert len(sub) == 3
+    res = sub.search(np.array([base[9]], dtype=np.uint64), threshold=1)
+    rids, rdists = res[0]
+    assert list(rids) == [10] and list(rdists) == [0]
+
+
+def test_store_empty():
+    store = PackedHashStore()
+    assert len(store) == 0
+    res = store.search(np.array([123], dtype=np.uint64), threshold=5)
+    assert len(res) == 1 and len(res[0][0]) == 0
