@@ -1,0 +1,402 @@
+"""Color histogram descriptors: LUV k-means on device + batched distance scan.
+
+TPU rebuild of the reference ColorDescriptor
+(create: /root/reference/src/cvutil.cpp:790-1096,
+ distance: src/cvutil.cpp:682-748, storage: src/cvutil.h:60-115):
+
+- ``create_descriptors``: a batch of ≤256px RGB images → per-image 32-color
+  LUV histograms.  Elliptical center mask, RGB→Luv (OpenCV float-path
+  formulas, no gamma), brightness filter L>4, k-means (k=32, kmeans++ init,
+  Lloyd iterations to eps 10) — all vmapped jax; the tiny per-image
+  sort/merge/quantize tail runs on host.
+- ``color_topk``: batched asymmetric min-distance-sum scan — the
+  all-pairs color distance as two masked matmul/min reductions instead of
+  the reference's scalar O(N·32·32) loop per pair.
+
+Descriptor storage (matches the reference's lossy 16-bit quantization,
+src/cvutil.h:83-95): [32,4] uint16 rows (l,u,v,w) + numColors. The
+reference sets numColors to count-1 (src/cvutil.cpp:1052) and its distance
+loops over that many entries — replicated here for scoring parity.
+
+Determinism: the reference's descriptor is non-deterministic (OpenCV RNG in
+kmeans++, noted at src/cvutil.cpp:791).  Here the PRNG is keyed from image
+content, so identical pixels always give identical descriptors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_COLORS = 32
+_U16 = 65535.0
+
+# Luv white point constants (OpenCV float path)
+_UN = 0.19793943
+_VN = 0.46831096
+
+
+# ---------------------------------------------------------------------------
+# color space
+# ---------------------------------------------------------------------------
+
+def rgb_to_luv(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB [..., 3] in [0, 1] → Luv (OpenCV cvtColor float semantics: linear
+    RGB→XYZ matrix, no gamma; L in [0,100], u in [-134,220], v in [-140,122])."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    x = 0.412453 * r + 0.357580 * g + 0.180423 * b
+    y = 0.212671 * r + 0.715160 * g + 0.072169 * b
+    z = 0.019334 * r + 0.119193 * g + 0.950227 * b
+    l = jnp.where(y > 0.008856, 116.0 * jnp.cbrt(y) - 16.0, 903.3 * y)
+    denom = x + 15.0 * y + 3.0 * z
+    safe = jnp.where(denom > 0, denom, 1.0)
+    up = jnp.where(denom > 0, 4.0 * x / safe, 0.0)
+    vp = jnp.where(denom > 0, 9.0 * y / safe, 0.0)
+    u = 13.0 * l * (up - _UN)
+    v = 13.0 * l * (vp - _VN)
+    return jnp.stack([l, u, v], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# quantization (reference DescriptorColor set/get)
+# ---------------------------------------------------------------------------
+
+def quantize_luv(luv: np.ndarray) -> np.ndarray:
+    """float Luv [...,3] → uint16 (reference DescriptorColor::set)."""
+    l = np.clip((_U16 / 100.0) * luv[..., 0], 0, _U16)
+    u = np.clip((_U16 / 354.0) * (luv[..., 1] + 134.0), 0, _U16)
+    v = np.clip((_U16 / 262.0) * (luv[..., 2] + 140.0), 0, _U16)
+    return np.stack([l, u, v], axis=-1).astype(np.uint16)
+
+
+def dequantize_luv(q: np.ndarray) -> np.ndarray:
+    """uint16 [...,3] → float Luv (reference DescriptorColor::get)."""
+    q = q.astype(np.float32)
+    l = q[..., 0] * 100.0 / _U16
+    u = q[..., 1] * 354.0 / _U16 - 134.0
+    v = q[..., 2] * 262.0 / _U16 - 140.0
+    return np.stack([l, u, v], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# device k-means over the masked sample set
+# ---------------------------------------------------------------------------
+
+def _kmeans_pp_init(luv: jnp.ndarray, mask: jnp.ndarray, key) -> jnp.ndarray:
+    """kmeans++ seeding over masked samples. luv [S,3], mask [S]."""
+    s = luv.shape[0]
+    neg_inf = jnp.float32(-1e30)
+
+    def pick(probs_log, key):
+        g = jax.random.gumbel(key, (s,))
+        return jnp.argmax(probs_log + g)
+
+    key, k0 = jax.random.split(key)
+    first = pick(jnp.where(mask, 0.0, neg_inf), k0)
+    centers = jnp.zeros((NUM_COLORS, 3), jnp.float32).at[0].set(luv[first])
+
+    def body(i, carry):
+        centers, key = carry
+        d2 = jnp.sum((luv[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+        valid_c = (jnp.arange(NUM_COLORS) < i)[None, :]
+        mind2 = jnp.min(jnp.where(valid_c, d2, jnp.inf), axis=1)
+        logits = jnp.where(mask & (mind2 > 0), jnp.log(jnp.maximum(mind2, 1e-12)),
+                           neg_inf)
+        # all-zero mind2 (duplicate-heavy images): fall back to uniform
+        logits = jnp.where(jnp.all(logits == neg_inf),
+                           jnp.where(mask, 0.0, neg_inf), logits)
+        key, kk = jax.random.split(key)
+        idx = pick(logits, kk)
+        return centers.at[i].set(luv[idx]), key
+
+    centers, _ = jax.lax.fori_loop(1, NUM_COLORS, body, (centers, key))
+    return centers
+
+
+def _kmeans(luv: jnp.ndarray, mask: jnp.ndarray, key,
+            max_iter: int = 100, eps: float = 10.0):
+    """Lloyd iterations (squared-L2, like cv::kmeans) until the max center
+    shift falls below eps (TermCriteria 100/10, src/cvutil.cpp:897-899).
+    @return (centers [32,3], labels [S])"""
+    centers0 = _kmeans_pp_init(luv, mask, key)
+
+    def assign(centers):
+        d2 = jnp.sum((luv[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+        return jnp.argmin(d2, axis=1)
+
+    def step(state):
+        centers, _, it = state
+        labels = assign(centers)
+        onehot = (labels[:, None] == jnp.arange(NUM_COLORS)[None, :]) & mask[:, None]
+        counts = onehot.sum(axis=0).astype(jnp.float32)
+        sums = jnp.einsum("sk,sd->kd", onehot.astype(jnp.float32), luv)
+        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0),
+                        centers)  # empty cluster keeps its center
+        shift = jnp.sqrt(jnp.max(jnp.sum((new - centers) ** 2, axis=-1)))
+        return new, shift, it + 1
+
+    def cond(state):
+        _, shift, it = state
+        return (it < max_iter) & (shift >= eps)
+
+    state = step((centers0, jnp.float32(jnp.inf), 0))
+    centers, _, _ = jax.lax.while_loop(cond, step, state)
+    return centers, assign(centers)
+
+
+def _descriptor_kernel(canvas: jnp.ndarray, size: jnp.ndarray, seed: jnp.ndarray):
+    """Per-image device pipeline. canvas [H,W,3] uint8, size (h,w).
+
+    @return (centers [32,3] f32 Luv, label_w [32] f32 weight sums,
+             label_n [32] i32 counts, n_samples i32)
+    """
+    hmax, wmax, _ = canvas.shape
+    h = size[0].astype(jnp.float32)
+    w = size[1].astype(jnp.float32)
+    yy = jnp.arange(hmax, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(wmax, dtype=jnp.float32)[None, :]
+    inb = (yy < h) & (xx < w)
+
+    # elliptical center mask (axes 0.9w × 0.9h, reference src/cvutil.cpp:822-827);
+    # outside pixels go to black and are then dropped by the L>4 filter
+    ex = (xx - w * 0.5) / jnp.maximum(w * 0.45, 1.0)
+    ey = (yy - h * 0.5) / jnp.maximum(h * 0.45, 1.0)
+    inside = (ex * ex + ey * ey) <= 1.0
+
+    rgb = canvas.astype(jnp.float32) * (255.0 / 256.0 / 255.0)  # mask scale + [0,1]
+    luv = rgb_to_luv(rgb)  # [H,W,3]
+
+    keep = inb & inside & (luv[..., 0] > 4.0)  # brightness filter L>4
+    flat_luv = luv.reshape(-1, 3)
+    flat_keep = keep.reshape(-1)
+    n_samples = flat_keep.sum()
+
+    key = jax.random.fold_in(jax.random.PRNGKey(12345), seed)
+    centers, labels = _kmeans(flat_luv, flat_keep, key)
+
+    # positional damping: weight = (maxDist - dist_from_center) / maxDist
+    # (reference src/cvutil.cpp:956-970)
+    dx = xx - jnp.floor(w / 2.0)
+    dy = yy - jnp.floor(h / 2.0)
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    max_dist = jnp.sqrt((w / 2.0) ** 2 + (h / 2.0) ** 2)
+    wpos = ((max_dist - dist) / jnp.maximum(max_dist, 1e-6)).reshape(-1)
+
+    onehot = (labels[:, None] == jnp.arange(NUM_COLORS)[None, :]) & flat_keep[:, None]
+    label_w = jnp.einsum("sk,s->k", onehot.astype(jnp.float32), wpos)
+    label_n = onehot.sum(axis=0).astype(jnp.int32)
+    return centers, label_w, label_n, n_samples.astype(jnp.int32)
+
+
+_descriptor_batch = jax.jit(jax.vmap(_descriptor_kernel))
+
+
+def create_descriptors(images: Sequence[Optional[np.ndarray]],
+                       canvas: int = 256) -> list[Optional[np.ndarray]]:
+    """Batch descriptor creation.
+
+    @param images RGB uint8 arrays (≤canvas px), or None for grayscale media
+    @return per image: [33, 4] uint16 — rows 0..31 are (l,u,v,w), row 32
+            holds (numColors, 0, 0, 0); None when no descriptor applies
+            (grayscale input or <32 usable colors, reference behavior)
+    """
+    idx = [i for i, im in enumerate(images) if im is not None and im.ndim == 3]
+    out: list[Optional[np.ndarray]] = [None] * len(images)
+    if not idx:
+        return out
+    b = len(idx)
+    cv = np.zeros((b, canvas, canvas, 3), dtype=np.uint8)
+    sizes = np.zeros((b, 2), dtype=np.int32)
+    seeds = np.zeros(b, dtype=np.uint32)
+    for n, i in enumerate(idx):
+        im = images[i]
+        h, w = im.shape[:2]
+        cv[n, :h, :w] = im[..., :3]
+        sizes[n] = (h, w)
+        seeds[n] = np.uint32(np.sum(im, dtype=np.uint64) & 0xFFFFFFFF)
+    centers, label_w, label_n, n_samples = (np.asarray(a) for a in
+                                            _descriptor_batch(cv, sizes, seeds))
+    for n, i in enumerate(idx):
+        out[i] = _format_descriptor(centers[n], label_w[n], label_n[n],
+                                    int(n_samples[n]))
+    return out
+
+
+def _format_descriptor(centers: np.ndarray, label_w: np.ndarray,
+                       label_n: np.ndarray, n_samples: int) -> Optional[np.ndarray]:
+    """Quantize centers, merge colliding keys, sort by weight, normalize
+    (reference src/cvutil.cpp:1005-1081)."""
+    if n_samples < NUM_COLORS:
+        return None  # "not enough colors" (src/cvutil.cpp:889-892)
+    q = quantize_luv(centers)  # [32,3] u16
+    freq: dict[tuple, float] = {}
+    for k in range(NUM_COLORS):
+        if label_n[k] <= 0:
+            continue
+        key = tuple(int(x) for x in q[k])
+        freq[key] = freq.get(key, 0.0) + float(label_w[k])
+    if not freq:
+        return None
+    max_freq = max(freq.values())
+    keys = sorted(freq, key=lambda k: -freq[k])[:NUM_COLORS]
+    desc = np.zeros((NUM_COLORS + 1, 4), dtype=np.uint16)
+    for n, key in enumerate(keys):
+        w16 = int(freq[key] * _U16 / max_freq) & 0xFFFF if max_freq > 0 else 0
+        desc[n] = (key[0], key[1], key[2], w16)
+    # reference quirk: numColors ends at count-1 (src/cvutil.cpp:1052)
+    desc[NUM_COLORS, 0] = max(len(keys) - 1, 0)
+    return desc
+
+
+def descriptor_num_colors(desc: np.ndarray) -> int:
+    return int(desc[NUM_COLORS, 0])
+
+
+# ---------------------------------------------------------------------------
+# batched distance search
+# ---------------------------------------------------------------------------
+
+BAD_SCORE = np.float32(3.0e38)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def color_topk(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
+               h_colors: jnp.ndarray, h_counts: jnp.ndarray,
+               h_valid: jnp.ndarray, k: int = 64):
+    """Asymmetric min-distance-sum color matching, batched.
+
+    n_colors [Q,32,3] f32 needle Luv, n_counts [Q] numColors
+    h_colors [N,32,3], h_counts [N], h_valid [N]
+    @return (scores [Q,k] f32 ascending, indices [Q,k] i32); BAD_SCORE = miss
+
+    distance(a,b) = 1 + Σ_i min_j ‖a_i − b_j‖ where a is the side with more
+    colors; rejected when |numA−numB| > 2 or either is 0
+    (reference src/cvutil.cpp:682-748).
+    """
+    g = jnp.einsum("qid,njd->qinj", n_colors, h_colors,
+                   precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(n_colors * n_colors, axis=-1)  # [Q,32]
+    b2 = jnp.sum(h_colors * h_colors, axis=-1)  # [N,32]
+    d2 = a2[:, :, None, None] + b2[None, None, :, :] - 2.0 * g
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))  # [Q,32,N,32]
+    # the a²+b²−2ab expansion loses ~eps·|luv|² to f32 cancellation, which
+    # inflates exact-match distances by ~0.05/color; floor those to zero
+    # (Luv distances < 0.06 are far below perceptual difference)
+    d = jnp.where(d < 0.06, 0.0, d)
+
+    iq = jnp.arange(NUM_COLORS)
+    mask_n = iq[None, :] < n_counts[:, None]  # [Q,32]
+    mask_h = iq[None, :] < h_counts[:, None]  # [N,32]
+
+    inf = jnp.float32(3.0e38)
+    # needle side sums (needle has >= colors): min over haystack colors
+    min_j = jnp.min(jnp.where(mask_h[None, None, :, :], d, inf), axis=3)  # [Q,32,N]
+    s_ab = jnp.sum(jnp.where(mask_n[:, :, None], min_j, 0.0), axis=1)  # [Q,N]
+    # haystack side sums
+    min_i = jnp.min(jnp.where(mask_n[:, :, None, None], d, inf), axis=1)  # [Q,N,32]
+    s_ba = jnp.sum(jnp.where(mask_h[None, :, :], min_i, 0.0), axis=2)  # [Q,N]
+
+    score = 1.0 + jnp.where(n_counts[:, None] >= h_counts[None, :], s_ab, s_ba)
+    reject = ((n_counts[:, None] == 0) | (h_counts[None, :] == 0)
+              | (jnp.abs(n_counts[:, None] - h_counts[None, :]) > 2)
+              | ~h_valid[None, :])
+    score = jnp.where(reject, BAD_SCORE, score)
+
+    k = min(k, score.shape[1])
+    neg, idx = jax.lax.top_k(-score, k)
+    return -neg, idx
+
+
+class PackedColorStore:
+    """Host+device packed color descriptor store (parallel arrays keyed by
+    media id, tombstone removal — same contract as PackedHashStore)."""
+
+    def __init__(self):
+        self._descs = np.zeros((0, NUM_COLORS + 1, 4), dtype=np.uint16)
+        self._ids = np.zeros(0, dtype=np.uint32)
+        self._dev = None
+
+    def __len__(self):
+        return len(self._ids)
+
+    @property
+    def ids(self):
+        return self._ids
+
+    @property
+    def descriptors(self):
+        return self._descs
+
+    def memory_usage(self) -> int:
+        return self._descs.nbytes + self._ids.nbytes
+
+    def add(self, descs: np.ndarray, ids: np.ndarray) -> None:
+        if len(ids) == 0:
+            return
+        self._descs = np.concatenate([self._descs, np.asarray(descs, np.uint16)])
+        self._ids = np.concatenate([self._ids, np.asarray(ids, np.uint32)])
+        self._dev = None
+
+    def remove(self, ids) -> None:
+        if not len(self._ids):
+            return
+        kill = np.isin(self._ids, np.asarray(list(ids), dtype=np.uint32))
+        if kill.any():
+            self._ids[kill] = 0
+            self._descs[kill] = 0
+            self._dev = None
+
+    def slice(self, media_ids) -> "PackedColorStore":
+        keep = np.isin(self._ids, np.asarray(list(media_ids), dtype=np.uint32))
+        keep &= self._ids != 0
+        out = PackedColorStore()
+        out.add(self._descs[keep], self._ids[keep])
+        return out
+
+    def _device(self):
+        if self._dev is None:
+            n = max(len(self._ids), 1)
+            b = 1 << (n - 1).bit_length()
+            b = max(b, 64)
+            colors = np.zeros((b, NUM_COLORS, 3), dtype=np.float32)
+            counts = np.zeros(b, dtype=np.int32)
+            valid = np.zeros(b, dtype=bool)
+            if len(self._ids):
+                colors[:len(self._ids)] = dequantize_luv(
+                    self._descs[:, :NUM_COLORS, :3])
+                counts[:len(self._ids)] = self._descs[:, NUM_COLORS, 0]
+                valid[:len(self._ids)] = self._ids != 0
+            self._dev = (jnp.asarray(colors), jnp.asarray(counts),
+                         jnp.asarray(valid))
+        return self._dev
+
+    def search(self, needle_descs: Sequence[Optional[np.ndarray]], k: int = 64,
+               needle_batch: int = 64):
+        """@return per needle (ids, scores float32) sorted ascending."""
+        q_total = len(needle_descs)
+        empty = (np.zeros(0, np.uint32), np.zeros(0, np.float32))
+        if q_total == 0 or len(self._ids) == 0:
+            return [empty] * q_total
+        colors_d, counts_d, valid_d = self._device()
+        results = []
+        for s in range(0, q_total, needle_batch):
+            chunk = needle_descs[s:s + needle_batch]
+            qb = len(chunk)
+            ncol = np.zeros((needle_batch, NUM_COLORS, 3), dtype=np.float32)
+            ncnt = np.zeros(needle_batch, dtype=np.int32)
+            for n, dsc in enumerate(chunk):
+                if dsc is not None:
+                    ncol[n] = dequantize_luv(dsc[:NUM_COLORS, :3])
+                    ncnt[n] = dsc[NUM_COLORS, 0]
+            scores, idx = color_topk(jnp.asarray(ncol), jnp.asarray(ncnt),
+                                     colors_d, counts_d, valid_d, k=k)
+            scores = np.asarray(scores)
+            idx = np.asarray(idx)
+            for row in range(qb):
+                hit = scores[row] < BAD_SCORE
+                results.append((self._ids[idx[row][hit]], scores[row][hit]))
+        return results
