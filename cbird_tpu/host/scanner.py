@@ -34,7 +34,8 @@ Image.MAX_IMAGE_PIXELS = None  # the scanner guards sizes itself
 IMAGE_EXTS = {"jpg", "jpeg", "png", "gif", "bmp", "webp", "tif", "tiff",
               "ppm", "pgm", "pbm", "ico", "jfif"}
 VIDEO_EXTS = {"mp4", "mkv", "avi", "mov", "webm", "m4v", "mpg", "mpeg",
-              "wmv", "flv", "ts", "3gp", "ogv"}
+              "wmv", "flv", "ts", "3gp", "ogv",
+              "fseq"}  # .fseq: npz frame-sequence (hardware-free fixture format)
 ARCHIVE_EXTS = {"zip", "cbz"}
 
 # typed errors (reference src/scanner.h:125-135)
@@ -115,8 +116,8 @@ class Scanner:
         result = ScanResult()
         p = self.params
         seen_inodes: set[FileId] = set()
-        want_images = bool(p.types & TYPE_IMAGE)
-        want_videos = bool(p.types & (1 << (TYPE_VIDEO - 1))) or bool(p.types & TYPE_VIDEO)
+        want_images = bool(p.types & 1)
+        want_videos = bool(p.types & 2)
 
         for dirpath, dirnames, filenames in os.walk(root, followlinks=p.followSymlinks):
             if not p.recursive and os.path.abspath(dirpath) != os.path.abspath(root):

@@ -1,0 +1,228 @@
+"""Video ingest: pluggable decode backends → device frame hashing → window
+compression.
+
+Rebuild of the reference video path (VideoContext FFmpeg wrapper,
+/root/reference/src/videocontext.{h,cpp}; Media::makeVideoIndex,
+src/media.cpp:925-1037): TPUs have no video ASIC, so decode stays on the
+host while hashing moves to the device in large frame batches — the
+reference hashes frame-by-frame on the decoder thread.
+
+Backends:
+- ``FfmpegBackend``: ffmpeg subprocess, grayscale rawvideo pipe scaled to
+  ≤128px (the reference decodes at maxW/H 128 gray with skip_loop_filter,
+  src/scanner.cpp:1040-1064) — used when an ffmpeg binary exists.
+- ``FseqBackend``: ``.fseq`` frame-sequence files (npz: frames [N,H,W] u8 +
+  fps) — hardware-free fixture format for tests and frame dumps.
+
+The hash-run window compression (drop a frame when every hash in the window
+since the last retained frame is within threshold; always retain the last
+frame) replicates src/media.cpp:998-1031.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import subprocess
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..ops.dct_hash import DctHasher
+from ..ops.ref_numpy import hamming64
+from ..params import IndexParams, TYPE_VIDEO
+from ..store.ioutil import full_md5_file
+from ..store.media import Media, VideoIndexData
+from ..utils.log import debug, warn
+
+MAX_FRAMES_PER_VIDEO = 1 << 24  # 24-bit frame ids (reference src/dctvideoindex.h:50)
+DECODE_MAX_SIDE = 128
+
+
+# ---------------------------------------------------------------------------
+# decode backends
+# ---------------------------------------------------------------------------
+
+class FseqBackend:
+    """npz frame-sequence 'video': {frames: [N,H,W] uint8, fps: float}."""
+
+    EXT = "fseq"
+
+    @staticmethod
+    def save(path: str, frames: np.ndarray, fps: float = 25.0) -> None:
+        buf = io.BytesIO()
+        np.savez_compressed(buf, frames=np.asarray(frames, dtype=np.uint8),
+                            fps=np.float64(fps))
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+
+    def probe(self, path: str) -> dict:
+        with np.load(path) as z:
+            n, h, w = z["frames"].shape
+            fps = float(z["fps"])
+        return {"width": w, "height": h, "fps": fps, "duration": n / fps}
+
+    def frames(self, path: str, max_side: int = DECODE_MAX_SIDE) -> Iterator[np.ndarray]:
+        with np.load(path) as z:
+            arr = z["frames"]
+            for frame in arr:
+                if max(frame.shape) > max_side:
+                    s = max_side / max(frame.shape)
+                    from PIL import Image
+                    im = Image.fromarray(frame).resize(
+                        (max(1, round(frame.shape[1] * s)),
+                         max(1, round(frame.shape[0] * s))), Image.BOX)
+                    frame = np.asarray(im)
+                yield frame
+
+
+class FfmpegBackend:
+    """ffmpeg subprocess decode: grayscale, ≤128px, fast flags."""
+
+    @staticmethod
+    def available() -> bool:
+        return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
+
+    def probe(self, path: str) -> dict:
+        out = subprocess.run(
+            ["ffprobe", "-v", "error", "-select_streams", "v:0",
+             "-show_entries", "stream=width,height,r_frame_rate,duration",
+             "-of", "csv=p=0", path],
+            capture_output=True, text=True, timeout=60).stdout.strip()
+        w, h, rate, dur = (out.split(",") + ["", "", "", ""])[:4]
+        num, _, den = rate.partition("/")
+        fps = float(num) / float(den or 1) if num else 25.0
+        return {"width": int(w or 0), "height": int(h or 0), "fps": fps,
+                "duration": float(dur or 0)}
+
+    def frames(self, path: str, max_side: int = DECODE_MAX_SIDE) -> Iterator[np.ndarray]:
+        meta = self.probe(path)
+        w, h = meta["width"], meta["height"]
+        if w <= 0 or h <= 0:
+            return
+        scale = min(1.0, max_side / max(w, h))
+        ow, oh = max(2, int(w * scale) // 2 * 2), max(2, int(h * scale) // 2 * 2)
+        proc = subprocess.Popen(
+            ["ffmpeg", "-v", "error", "-skip_frame", "default",
+             "-flags2", "fast", "-i", path,
+             "-vf", f"scale={ow}:{oh}", "-f", "rawvideo", "-pix_fmt", "gray", "-"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+        frame_bytes = ow * oh
+        try:
+            while True:
+                buf = proc.stdout.read(frame_bytes)
+                if len(buf) < frame_bytes:
+                    break
+                yield np.frombuffer(buf, dtype=np.uint8).reshape(oh, ow)
+        finally:
+            proc.stdout.close()
+            proc.wait()
+
+
+def backend_for(path: str):
+    if path.lower().endswith(".fseq"):
+        return FseqBackend()
+    if FfmpegBackend.available():
+        return FfmpegBackend()
+    return None
+
+
+# ---------------------------------------------------------------------------
+# hash-run window compression (reference src/media.cpp:998-1031)
+# ---------------------------------------------------------------------------
+
+def compress_hash_run(hashes: np.ndarray, threshold: int):
+    """@param hashes [N] uint64 per-frame hashes (frame i = hash i)
+    @return (frames [M] int32, kept [M] uint64)
+
+    Frame 0 is always retained.  A later frame is dropped when *every* hash
+    in the window since the last retained frame is within ``threshold``;
+    the final frame is always appended as a reference point."""
+    n = len(hashes)
+    if n == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.uint64)
+    frames = [0]
+    kept = [hashes[0]]
+    window: list[int] = []
+    for i in range(1, n):
+        h = int(hashes[i])
+        if threshold > 0:
+            close = sum(1 for prev in window if hamming64(prev, h) < threshold)
+            if close != len(window):
+                window.clear()
+                frames.append(i)
+                kept.append(hashes[i])
+            window.append(h)
+        else:
+            frames.append(i)
+            kept.append(hashes[i])
+    last = n - 1
+    if frames[-1] != last:
+        frames.append(last)
+        kept.append(np.uint64(window[-1]) if window else hashes[last])
+    return np.array(frames, dtype=np.int32), np.array(kept, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# per-file processing
+# ---------------------------------------------------------------------------
+
+_video_hasher: Optional[DctHasher] = None
+
+
+def _hasher() -> DctHasher:
+    global _video_hasher
+    if _video_hasher is None:
+        _video_hasher = DctHasher(canvas_hw=(DECODE_MAX_SIDE, DECODE_MAX_SIDE),
+                                  batch=256)
+    return _video_hasher
+
+
+def make_video_index(frame_iter: Iterator[np.ndarray], threshold: int,
+                     batch: int = 256) -> VideoIndexData:
+    """Hash every frame in device batches (autocrop 20 first, like the
+    reference: grayscale → autocrop → dctHash per frame,
+    src/media.cpp:991-996), then window-compress the run."""
+    hasher = _hasher()
+    all_hashes: list[np.ndarray] = []
+    chunk: list[np.ndarray] = []
+    total = 0
+    for frame in frame_iter:
+        chunk.append(frame)
+        total += 1
+        if len(chunk) >= batch:
+            all_hashes.append(hasher.hash_images(chunk, do_crop=True))
+            chunk = []
+        if total >= MAX_FRAMES_PER_VIDEO:
+            warn("too many frames, skipping the rest")
+            break
+    if chunk:
+        all_hashes.append(hasher.hash_images(chunk, do_crop=True))
+    if not all_hashes:
+        return VideoIndexData()
+    hashes = np.concatenate(all_hashes)
+    frames, kept = compress_hash_run(hashes, threshold)
+    return VideoIndexData(frames=frames, hashes=kept)
+
+
+def process_video(path: str, params: IndexParams) -> Optional[Media]:
+    """Decode + hash one video into a Media with videoIndex
+    (reference Scanner::processVideo, src/scanner.cpp:1066-1130)."""
+    backend = backend_for(path)
+    if backend is None:
+        warn(f"no video decode backend for {path} (ffmpeg not found)")
+        return None
+    try:
+        meta = backend.probe(path)
+    except Exception:
+        return None
+    md5 = full_md5_file(path)
+    index = make_video_index(backend.frames(path), params.videoThreshold)
+    if index.is_empty():
+        return None
+    m = Media(path, TYPE_VIDEO, meta.get("width", -1), meta.get("height", -1),
+              md5, 0)
+    m.videoIndex = index
+    debug(f"video {os.path.basename(path)}: {len(index.frames)} retained frames")
+    return m

@@ -1,0 +1,158 @@
+"""Per-video segment-min Hamming search (the video index inner kernel).
+
+TPU-first replacement for the reference's RadixMap bucket scan + per-video
+reduceMatches loop (/root/reference/src/dctvideoindex.cpp:399-657 and
+src/tree/radix.h): all frame hashes of all videos live in one packed
+[F, 2]-uint32 array with a parallel video-index column; a query computes
+XOR-popcount distances and scatter-min-reduces them *per video* on device,
+returning (min distance, frame of the min) for every (needle, video) pair —
+the host only sees the [Q, V] reduction, never per-frame matches.
+
+Distance and frame are packed into one int32 (d·2^24 | frame, frame ids are
+24-bit, reference src/dctvideoindex.h:38-51) so a single scatter-min keeps
+the nearest frame per video.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FRAME_BITS = 24
+_FRAME_MASK = (1 << _FRAME_BITS) - 1
+_BIG = np.int32((65 << _FRAME_BITS) | _FRAME_MASK)
+
+
+@functools.partial(jax.jit, static_argnames=("num_videos", "chunk"))
+def frame_search(needles: jnp.ndarray, hashes: jnp.ndarray, vidx: jnp.ndarray,
+                 frame_no: jnp.ndarray, valid: jnp.ndarray, num_videos: int,
+                 chunk: int = 1 << 16):
+    """@param needles [Q,2] uint32; hashes [F,2] uint32; vidx [F] int32 video
+    index per frame; frame_no [F] int32; valid [F] bool
+    @return (min_dist [Q,V] int32 (65 = no match), min_frame [Q,V] int32)"""
+    q = needles.shape[0]
+    f = hashes.shape[0]
+    n_lo, n_hi = needles[:, 0], needles[:, 1]
+
+    f_pad = -f % chunk
+    if f_pad:
+        hashes = jnp.pad(hashes, ((0, f_pad), (0, 0)))
+        vidx = jnp.pad(vidx, (0, f_pad))
+        frame_no = jnp.pad(frame_no, (0, f_pad))
+        valid = jnp.pad(valid, (0, f_pad))
+    n_chunks = hashes.shape[0] // chunk
+
+    hs = hashes.reshape(n_chunks, chunk, 2)
+    vs = vidx.reshape(n_chunks, chunk)
+    fs = frame_no.reshape(n_chunks, chunk)
+    ok = valid.reshape(n_chunks, chunk)
+
+    acc0 = jnp.full((q, num_videos), _BIG, jnp.int32)
+
+    def body(acc, inp):
+        h, v, fr, o = inp
+        x = jax.lax.population_count(jnp.bitwise_xor(n_lo[:, None], h[None, :, 0]))
+        y = jax.lax.population_count(jnp.bitwise_xor(n_hi[:, None], h[None, :, 1]))
+        d = (x + y).astype(jnp.int32)
+        combined = (d << _FRAME_BITS) | (fr & _FRAME_MASK)[None, :]
+        combined = jnp.where(o[None, :], combined, _BIG)
+        return acc.at[:, v].min(combined), None
+
+    acc, _ = jax.lax.scan(body, acc0, (hs, vs, fs, ok))
+    return acc >> _FRAME_BITS, acc & _FRAME_MASK
+
+
+class PackedVideoStore:
+    """Packed frame-hash store: all videos' retained frames in parallel
+    arrays, searched with per-video segment-min reductions."""
+
+    def __init__(self):
+        self._media_ids: list[int] = []       # video slot -> media id (0 = tombstone)
+        self._hashes = np.zeros(0, np.uint64)
+        self._vidx = np.zeros(0, np.int32)    # frame -> video slot
+        self._frames = np.zeros(0, np.int32)
+        self._dev = None
+
+    def __len__(self):
+        return sum(1 for i in self._media_ids if i)
+
+    def frame_count(self) -> int:
+        return len(self._hashes)
+
+    @property
+    def media_ids(self):
+        return self._media_ids
+
+    def memory_usage(self) -> int:
+        return self._hashes.nbytes + self._vidx.nbytes + self._frames.nbytes
+
+    def add_video(self, media_id: int, frames: np.ndarray, hashes: np.ndarray) -> None:
+        slot = len(self._media_ids)
+        self._media_ids.append(int(media_id))
+        self._hashes = np.concatenate([self._hashes, np.asarray(hashes, np.uint64)])
+        self._vidx = np.concatenate(
+            [self._vidx, np.full(len(hashes), slot, np.int32)])
+        self._frames = np.concatenate(
+            [self._frames, np.asarray(frames, np.int32)])
+        self._dev = None
+
+    def remove(self, media_ids) -> None:
+        kill = set(int(i) for i in media_ids)
+        changed = False
+        for slot, mid in enumerate(self._media_ids):
+            if mid in kill:
+                self._media_ids[slot] = 0
+                changed = True
+        if changed:
+            self._dev = None
+
+    def _device(self):
+        if self._dev is None:
+            from .dct_hash import split_u64
+            f = max(len(self._hashes), 1)
+            fb = max(1 << (f - 1).bit_length(), 1024)
+            v = max(len(self._media_ids), 1)
+            vb = max(1 << (v - 1).bit_length(), 16)
+            pairs = np.zeros((fb, 2), np.uint32)
+            vidx = np.zeros(fb, np.int32)
+            frames = np.zeros(fb, np.int32)
+            valid = np.zeros(fb, bool)
+            n = len(self._hashes)
+            if n:
+                pairs[:n] = split_u64(self._hashes)
+                vidx[:n] = self._vidx
+                frames[:n] = self._frames
+                alive = np.array([bool(m) for m in self._media_ids], bool)
+                valid[:n] = alive[self._vidx]
+            self._dev = (jnp.asarray(pairs), jnp.asarray(vidx),
+                         jnp.asarray(frames), jnp.asarray(valid), vb)
+        return self._dev
+
+    def search(self, needle_hashes: np.ndarray, needle_batch: int = 256):
+        """@param needle_hashes [Q] uint64
+        @return (min_dist [Q, V] int32 with 65 = miss, min_frame [Q, V] int32)
+        where V = number of video slots (use .media_ids to map to ids)."""
+        from .dct_hash import split_u64
+        v = len(self._media_ids)
+        q_total = len(needle_hashes)
+        if q_total == 0 or v == 0 or len(self._hashes) == 0:
+            return (np.full((q_total, max(v, 1)), 65, np.int32),
+                    np.zeros((q_total, max(v, 1)), np.int32))
+        pairs, vidx, frames, valid, vb = self._device()
+        out_d = np.zeros((q_total, v), np.int32)
+        out_f = np.zeros((q_total, v), np.int32)
+        needles = split_u64(np.asarray(needle_hashes, np.uint64))
+        for s in range(0, q_total, needle_batch):
+            nb = needles[s:s + needle_batch]
+            qn = nb.shape[0]
+            qb = max(1 << (qn - 1).bit_length(), 64)
+            if qn < qb:
+                nb = np.pad(nb, ((0, qb - qn), (0, 0)))
+            d, fr = frame_search(jnp.asarray(nb), pairs, vidx, frames, valid,
+                                 num_videos=vb)
+            out_d[s:s + qn] = np.asarray(d)[:qn, :v]
+            out_f[s:s + qn] = np.asarray(fr)[:qn, :v]
+        return out_d, out_f

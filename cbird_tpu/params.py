@@ -353,10 +353,11 @@ class IndexParams(Params):
         NamedValue(1 << SearchParams.ALGO_COLOR, "color", "Color histogram"),
         NamedValue(1 << SearchParams.ALGO_VIDEO, "video", "DCT image hashes of video frames"),
     ]
+    # flag values 1/2/4 (reference src/scanner.h:35: TypeAudio = 4 as a flag)
     _TYPE_BITS = [
-        NamedValue(TYPE_IMAGE, "i", "Image files"),
-        NamedValue(TYPE_VIDEO, "v", "Video files"),
-        NamedValue(TYPE_AUDIO, "a", "Audio files"),
+        NamedValue(1, "i", "Image files"),
+        NamedValue(2, "v", "Video files"),
+        NamedValue(4, "a", "Audio files"),
     ]
 
     SPECS = [
@@ -414,7 +415,7 @@ class IndexParams(Params):
     def __init__(self) -> None:
         super().__init__()
         self.algos = 31
-        self.types = TYPE_IMAGE | TYPE_VIDEO | TYPE_AUDIO
+        self.types = 7  # i+v+a (reference TypeAll)
         self.sync = True
         self.recursive = True
         self.excludePatterns: list[str] = []

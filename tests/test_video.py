@@ -1,0 +1,225 @@
+"""Video pipeline: vdx container, window compression, segment-min search,
+temporal-adjacency scoring, end-to-end engine/CLI
+(reference unit/testvideoindex.cpp, unit/testdctvideoindex.cpp)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cbird_tpu.host.video import FseqBackend, compress_hash_run, make_video_index
+from cbird_tpu.params import IndexParams, SearchParams
+from cbird_tpu.store.media import Media, VideoIndexData
+from cbird_tpu.store.vdx import is_valid_vdx, load_vdx, save_vdx
+
+
+# ---------------------------------------------------------------------------
+# synthetic video: moving blob over drifting background — every frame hash
+# differs so retained-frame density is high
+# ---------------------------------------------------------------------------
+
+def make_frames(n, h=96, w=120, seed=0, phase=0.0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    frames = np.zeros((n, h, w), dtype=np.uint8)
+    fx, fy = rng.uniform(6, 18), rng.uniform(6, 18)
+    for t in range(n):
+        a = phase + t * 0.21
+        img = 120 + 60 * np.sin(xx / fx + a) * np.cos(yy / fy - 0.7 * a)
+        cy = h / 2 + (h / 3) * np.sin(a * 0.9)
+        cx = w / 2 + (w / 3) * np.cos(a * 1.1)
+        img += 90 * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 13.0 ** 2)))
+        frames[t] = np.clip(img, 0, 255)
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# vdx container
+# ---------------------------------------------------------------------------
+
+def test_vdx_roundtrip(tmp_path):
+    idx = VideoIndexData(frames=np.array([0, 5, 9], np.int32),
+                         hashes=np.array([123, 456, 2**63 + 7], np.uint64))
+    p = str(tmp_path / "1.vdx")
+    save_vdx(p, idx)
+    back = load_vdx(p)
+    assert np.array_equal(back.frames, idx.frames)
+    assert np.array_equal(back.hashes, idx.hashes)
+    assert is_valid_vdx(p)
+
+
+def test_vdx_corrupt(tmp_path):
+    p = str(tmp_path / "bad.vdx")
+    with open(p, "wb") as f:
+        f.write(b"garbage data not a vdx")
+    assert not is_valid_vdx(p)
+    with pytest.raises(ValueError):
+        load_vdx(p)
+    # truncated real file
+    idx = VideoIndexData(frames=np.arange(10, dtype=np.int32),
+                         hashes=np.arange(10).astype(np.uint64) + 1)
+    good = str(tmp_path / "good.vdx")
+    save_vdx(good, idx, compress=False)
+    data = open(good, "rb").read()
+    trunc = str(tmp_path / "trunc.vdx")
+    with open(trunc, "wb") as f:
+        f.write(data[:-8])
+    assert not is_valid_vdx(trunc)
+
+
+# ---------------------------------------------------------------------------
+# window compression
+# ---------------------------------------------------------------------------
+
+def test_compress_static_run():
+    """A static video collapses to first + last frame."""
+    h = np.full(50, 0x5555555555555555, dtype=np.uint64)
+    frames, kept = compress_hash_run(h, threshold=8)
+    assert list(frames) == [0, 49]
+    assert len(kept) == 2
+
+
+def test_compress_all_distinct():
+    rng = np.random.default_rng(1)
+    h = rng.integers(1, 2**63, size=20, dtype=np.uint64)
+    frames, kept = compress_hash_run(h, threshold=8)
+    # random hashes differ by ~32 bits — nothing dropped EXCEPT frame 1,
+    # which the reference always drops: frame 0 doesn't seed the window, so
+    # frame 1 compares against an empty window (count 0 == size 0 → skip;
+    # src/media.cpp:1000-1012)
+    assert list(frames) == [0] + list(range(2, 20))
+
+
+def test_compress_threshold_zero_keeps_all():
+    h = np.full(10, 7, dtype=np.uint64)
+    frames, kept = compress_hash_run(h, threshold=0)
+    assert list(frames) == list(range(10))
+
+
+def test_compress_scene_change():
+    a = np.full(30, 0xAAAAAAAAAAAAAAAA, dtype=np.uint64)
+    b = np.full(30, 0x5555555555555555, dtype=np.uint64)
+    frames, kept = compress_hash_run(np.concatenate([a, b]), threshold=8)
+    assert 30 in list(frames)  # scene cut retained
+    assert list(frames)[0] == 0 and list(frames)[-1] == 59
+
+
+# ---------------------------------------------------------------------------
+# fseq backend + make_video_index
+# ---------------------------------------------------------------------------
+
+def test_fseq_roundtrip(tmp_path):
+    frames = make_frames(12)
+    p = str(tmp_path / "clip.fseq")
+    FseqBackend.save(p, frames, fps=10.0)
+    be = FseqBackend()
+    meta = be.probe(p)
+    assert meta["width"] == 120 and meta["height"] == 96
+    got = list(be.frames(p))
+    assert len(got) == 12
+    assert np.array_equal(got[0], frames[0])
+
+
+def test_make_video_index(tmp_path):
+    frames = make_frames(60, seed=2)
+    idx = make_video_index(iter(frames), threshold=8)
+    assert not idx.is_empty()
+    assert idx.frames[0] == 0
+    assert idx.frames[-1] == 59
+    assert np.all(np.diff(idx.frames) > 0)
+    assert len(idx.frames) == len(idx.hashes)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: index + video-to-video + image-to-video search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def video_engine(tmp_path_factory):
+    from cbird_tpu.host.engine import Engine
+    root = str(tmp_path_factory.mktemp("vids"))
+    full = make_frames(160, seed=7)          # the "original upload"
+    clip = full[40:120].copy()               # re-cut excerpt of the original
+    other = make_frames(160, seed=8, phase=3.3)  # unrelated video
+    FseqBackend.save(os.path.join(root, "full.fseq"), full, 25.0)
+    FseqBackend.save(os.path.join(root, "clip.fseq"), clip, 25.0)
+    FseqBackend.save(os.path.join(root, "other.fseq"), other, 25.0)
+    params = IndexParams()
+    params.algos = (1 << 0) | (1 << 4)  # dct + video
+    params.minFileSize = 64
+    eng = Engine(root, params)
+    stats = eng.update()
+    assert stats["added"] == 3, stats
+    return eng, root, full
+
+
+def _video_params():
+    sp = SearchParams()
+    sp.set_param("alg", "video")
+    sp.skipFrames = 5
+    sp.minFramesMatched = 10
+    sp.minFramesNear = 40
+    return sp
+
+
+def test_video_to_video(video_engine):
+    eng, root, full = video_engine
+    sp = _video_params()
+    needle = eng.db.media_with_path(os.path.join(root, "clip.fseq"))
+    assert needle.is_valid()
+    matches = eng.db.similar_to(needle, sp)
+    paths = [os.path.basename(m.path) for m in matches]
+    assert "full.fseq" in paths, paths
+    assert "other.fseq" not in paths
+    m = matches[paths.index("full.fseq")]
+    assert 0 <= m.score <= 60  # 100 - percentNear, mostly adjacent
+    assert m.matchRange.is_valid()
+    # matched range should sit ~40 frames into the full video
+    assert 20 <= m.matchRange.dstIn <= 70
+
+
+def test_image_to_video(video_engine):
+    """An image needle (grabbed frame) finds the videos containing it."""
+    eng, root, full = video_engine
+    from cbird_tpu.ops.dct_hash import DctHasher
+    from cbird_tpu.ops import ref_numpy
+    frame = full[80]
+    h = ref_numpy.dct_hash64(frame)
+    sp = _video_params()
+    needle = Media("frame.png", Media.TypeImage, 120, 96, "x", h)
+    idx = eng.db.load_index(sp)
+    matches = idx.find(needle, sp)
+    ids = {m.mediaId for m in matches}
+    full_id = eng.db.media_with_path(os.path.join(root, "full.fseq")).id
+    clip_id = eng.db.media_with_path(os.path.join(root, "clip.fseq")).id
+    assert full_id in ids
+    assert clip_id in ids  # frame 80 is inside the clip (40..120)
+    for m in matches:
+        if m.mediaId == full_id:
+            assert abs(m.range.dstIn - 80) <= 12  # nearest retained frame
+
+
+def test_video_similar_all_pairs(video_engine):
+    eng, root, full = video_engine
+    sp = _video_params()
+    groups = eng.db.similar(sp)
+    # full<->clip pair must appear exactly once after group dedup
+    pair_groups = [g for g in groups
+                   if {os.path.basename(m.path) for m in g} >=
+                   {"full.fseq", "clip.fseq"}]
+    assert pair_groups, [ [m.path for m in g] for g in groups]
+
+
+def test_video_remove(video_engine):
+    eng, root, full = video_engine
+    sp = _video_params()
+    clip = eng.db.media_with_path(os.path.join(root, "clip.fseq"))
+    eng.db.remove([clip.id])
+    needle = eng.db.media_with_path(os.path.join(root, "full.fseq"))
+    matches = eng.db.similar_to(needle, sp)
+    assert not any("clip" in m.path for m in matches)
+    # re-index restores it
+    stats = eng.update()
+    assert stats["added"] == 1
+    matches = eng.db.similar_to(needle, sp)
+    assert any("clip" in m.path for m in matches)
