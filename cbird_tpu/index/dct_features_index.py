@@ -1,0 +1,167 @@
+"""DCT features index — algo 1 (`-p.alg fdct`).
+
+Rebuild of the reference DctFeaturesIndex
+(/root/reference/src/dctfeaturesindex.{h,cpp}): up to ~400 DCT hashes per
+image centered on ORB keypoints (crop robust).  The reference keeps a
+HammingTree; here every keypoint hash of every image lives in one packed
+array and a needle's K hashes search it in a single batched device pass.
+
+Candidate voting replicates find() (src/dctfeaturesindex.cpp:260-358): per
+needle hash take the 10 best matches under dctThresh; per candidate image
+count matches and sum distances; score = maxMatches − matches (or 10·avg
+distance when only single-hash matches exist); the needle itself scores −1.
+
+Storage: ``kphash(media_id integer primary key, hashes blob)`` in media1.db
+(reference src/dctfeaturesindex.cpp:40-51); blob = uint64le array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops.dct_hash import split_u64
+from ..ops.hamming import PackedHashStore
+from ..params import FLAG_IMAGE, SearchParams, TYPE_IMAGE
+from ..store.media import Media
+from .base import Index, Match
+
+VOTE_K = 10  # best matches considered per needle hash
+
+
+class DctFeaturesIndex(Index):
+    id = SearchParams.ALGO_DCT_FEATURES
+
+    def __init__(self) -> None:
+        self._store = PackedHashStore()  # one row per keypoint hash
+        self._loaded = False
+
+    def is_loaded(self) -> bool:
+        return self._loaded
+
+    def memory_usage(self) -> int:
+        return self._store.memory_usage()
+
+    def count(self) -> int:
+        return len(np.unique(self._store.ids[self._store.ids != 0]))
+
+    def database_id(self) -> int:
+        return 1
+
+    # ---- sql ---------------------------------------------------------------
+    def create_tables(self, conn) -> None:
+        conn.execute("create table if not exists kphash ("
+                     " media_id integer primary key not null,"
+                     " hashes blob not null)")
+
+    def add_records(self, conn, media: list[Media]) -> None:
+        rows = [(m.id, np.asarray(m.keyPointHashes, dtype=np.uint64).tobytes())
+                for m in media
+                if m.type == TYPE_IMAGE and m.keyPointHashes is not None
+                and len(m.keyPointHashes)]
+        if rows:
+            conn.executemany(
+                "insert or replace into kphash (media_id, hashes) values (?,?)",
+                rows)
+
+    def remove_records(self, conn, media_ids: list[int]) -> None:
+        conn.executemany("delete from kphash where media_id=?",
+                         [(i,) for i in media_ids])
+
+    def sql_media_ids(self, conn, cache_path: str, data_path: str) -> set[int]:
+        return {r[0] for r in conn.execute("select media_id from kphash")}
+
+    # ---- memory -------------------------------------------------------------
+    def load(self, conn, cache_path: str, data_path: str) -> None:
+        all_hashes, all_ids = [], []
+        for mid, blob in conn.execute("select media_id, hashes from kphash"):
+            h = np.frombuffer(blob, dtype=np.uint64)
+            if len(h):
+                all_hashes.append(h)
+                all_ids.append(np.full(len(h), mid, dtype=np.uint32))
+        self._store = PackedHashStore()
+        if all_hashes:
+            self._store.add(np.concatenate(all_hashes), np.concatenate(all_ids))
+        self._loaded = True
+
+    def add(self, media: list[Media]) -> None:
+        for m in media:
+            if m.type == TYPE_IMAGE and m.keyPointHashes is not None \
+                    and len(m.keyPointHashes):
+                h = np.asarray(m.keyPointHashes, dtype=np.uint64)
+                self._store.add(h, np.full(len(h), m.id, dtype=np.uint32))
+
+    def remove(self, media_ids: list[int]) -> None:
+        self._store.remove(media_ids)
+
+    # ---- search -------------------------------------------------------------
+    def _needle_hashes(self, needle: Media) -> np.ndarray:
+        if needle.keyPointHashes is not None and len(needle.keyPointHashes):
+            return np.asarray(needle.keyPointHashes, dtype=np.uint64)
+        if needle.id > 0:
+            sel = self._store.ids == needle.id
+            return self._store.hashes[sel]
+        return np.zeros(0, dtype=np.uint64)
+
+    def find(self, needle: Media, params: SearchParams) -> list[Match]:
+        return self.find_batch([needle], params)[0]
+
+    def find_batch(self, needles: list[Media], params: SearchParams) -> list[list[Match]]:
+        per_needle = [self._needle_hashes(n) for n in needles]
+        flat = np.concatenate([h for h in per_needle]) if per_needle else \
+            np.zeros(0, np.uint64)
+        if len(flat) == 0:
+            return [[] for _ in needles]
+        raw = self._store.search(flat, params.dctThresh, k=VOTE_K)
+        out: list[list[Match]] = []
+        pos = 0
+        for needle, hashes in zip(needles, per_needle):
+            k = len(hashes)
+            out.append(self._vote(needle, raw[pos:pos + k]))
+            pos += k
+        return out
+
+    def _vote(self, needle: Media, hits) -> list[Match]:
+        matches: dict[int, int] = {}
+        scores: dict[int, int] = {}
+        max_matches = 0
+        for ids, dists in hits:
+            for mid, d in zip(ids.tolist(), dists.tolist()):
+                if mid <= 0:
+                    continue
+                matches[mid] = matches.get(mid, 0) + 1
+                scores[mid] = scores.get(mid, 0) + d
+                if mid != needle.id:
+                    max_matches = max(max_matches, matches[mid])
+        results = []
+        for mid, count in matches.items():
+            if count <= 0:
+                continue
+            avg = scores[mid] / count
+            if mid == needle.id:
+                score = -1
+            elif max_matches == 1:
+                score = int(10 * avg)
+            else:
+                score = max_matches - count
+            results.append(Match(mid, score))
+        return results
+
+    def find_index_data(self, media: Media) -> bool:
+        if media.id and (media.keyPointHashes is None
+                         or not len(media.keyPointHashes)):
+            sel = self._store.ids == media.id
+            if sel.any():
+                media.keyPointHashes = self._store.hashes[sel].copy()
+                return True
+        return False
+
+    def slice(self, media_ids: set[int]) -> "DctFeaturesIndex":
+        chunk = DctFeaturesIndex()
+        chunk._store = self._store.slice(media_ids)
+        chunk._loaded = True
+        return chunk
+
+    def result_types(self) -> int:
+        return FLAG_IMAGE

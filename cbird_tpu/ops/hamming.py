@@ -222,3 +222,59 @@ class PackedHashStore:
                 idx = i[row][hit]
                 results.append((self._ids[idx], d[row][hit]))
         return results
+
+
+# ---------------------------------------------------------------------------
+# generic multi-lane (e.g. 256-bit ORB) variant
+# ---------------------------------------------------------------------------
+
+def _chunk_dists_lanes(n: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """[Q, L] uint32 needles vs [C, L] haystack → [Q, C] int32 distances."""
+    d = jnp.zeros((n.shape[0], h.shape[0]), jnp.int32)
+    for lane in range(n.shape[1]):
+        d = d + jax.lax.population_count(
+            jnp.bitwise_xor(n[:, lane, None], h[None, :, lane])).astype(jnp.int32)
+    return d
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def hamming_lanes_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
+                       valid: jnp.ndarray, k: int = 10, chunk: int = 1 << 14):
+    """Per-needle k nearest rows by Hamming distance over L uint32 lanes
+    (L=8 → 256-bit ORB descriptors; the reference uses FLANN LSH + knnSearch
+    k=10, src/cvfeaturesindex.cpp:438-531 — brute force wins on TPU)."""
+    q = needles.shape[0]
+    n = haystack.shape[0]
+    k = min(k, max(n, 1))
+    if n == 0:
+        return (jnp.full((q, k), BAD_DIST, jnp.int32),
+                jnp.full((q, k), -1, jnp.int32))
+    if n <= chunk:
+        d = _chunk_dists_lanes(needles, haystack)
+        d = jnp.where(valid[None, :], d, BAD_DIST)
+        neg, idx = jax.lax.top_k(-d, k)
+        return -neg, idx
+    n_pad = -n % chunk
+    if n_pad:
+        haystack = jnp.pad(haystack, ((0, n_pad), (0, 0)))
+        valid = jnp.pad(valid, (0, n_pad))
+    n_chunks = haystack.shape[0] // chunk
+    hs = haystack.reshape(n_chunks, chunk, -1)
+    vs = valid.reshape(n_chunks, chunk)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    init = (jnp.full((q, k), BAD_DIST, jnp.int32), jnp.full((q, k), -1, jnp.int32))
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        hs_c, vs_c, base = inp
+        d = _chunk_dists_lanes(needles, hs_c)
+        d = jnp.where(vs_c[None, :], d, BAD_DIST)
+        idx = base + jnp.arange(chunk, dtype=jnp.int32)
+        all_d = jnp.concatenate([best_d, d], axis=1)
+        all_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(idx[None, :], (q, chunk))], axis=1)
+        neg, sel = jax.lax.top_k(-all_d, k)
+        return (-neg, jnp.take_along_axis(all_i, sel, axis=1)), None
+
+    (best_d, best_i), _ = jax.lax.scan(body, init, (hs, vs, bases))
+    return best_d, best_i
