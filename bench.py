@@ -1,0 +1,90 @@
+"""Benchmark: DCT hash throughput + Hamming query latency on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "dct_hash_images_per_sec", "value": N, "unit": "images/sec",
+   "vs_baseline": N/50000}
+
+Baseline (BASELINE.md driver targets): >=50k images hashed/sec/chip and
+<10 ms p50 Hamming query over a 10M-hash index.  Secondary metrics go to
+stderr so the driver's one-line contract holds.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cbird_tpu.ops.dct_hash import autocrop_boxes, dct_hash_from_boxes
+    from cbird_tpu.ops.hamming import hamming_topk
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    # ---- hash throughput: 400px images, batch 256 -------------------------
+    B, H, W = 512, 448, 448
+    rng = np.random.default_rng(0)
+    canvas = rng.integers(0, 255, size=(B, H, W)).astype(np.uint8)
+    sizes_arr = np.full((B, 2), (400, 400), dtype=np.int32)
+
+    @jax.jit
+    def hash_step(canvas, sizes):
+        boxes = autocrop_boxes(canvas, sizes, 20)
+        return dct_hash_from_boxes(canvas, boxes)
+
+    cj = jnp.asarray(canvas)
+    sj = jnp.asarray(sizes_arr)
+    np.asarray(hash_step(cj, sj))  # compile + full sync (readback)
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = hash_step(cj, sj)
+    np.asarray(out)  # host readback forces real completion over the tunnel
+    dt = time.perf_counter() - t0
+    imgs_per_sec = B * iters / dt
+    print(f"hash: {imgs_per_sec:,.0f} images/sec (B={B}, {H}x{W} canvas, "
+          f"{dt / iters * 1000:.2f} ms/batch)", file=sys.stderr)
+
+    # ---- query p50 over 10M hashes ---------------------------------------
+    N = 10_000_000
+    chunk = 1 << 21
+    n_pad = -(-N // chunk) * chunk  # chunk-multiple bucket (10.49M)
+    hashes = rng.integers(1, 2**63, size=n_pad, dtype=np.uint64)
+    pairs = np.zeros((n_pad, 2), dtype=np.uint32)
+    pairs[:, 0] = hashes & 0xFFFFFFFF
+    pairs[:, 1] = hashes >> 32
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:N] = True
+    pairs_d = jnp.asarray(pairs)
+    valid_d = jnp.asarray(valid)
+
+    for qb in (1, 64):
+        needles = jnp.asarray(pairs[:qb])
+        np.asarray(hamming_topk(needles, pairs_d, valid_d, k=64)[0])  # compile
+        lat = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            d, i = hamming_topk(needles, pairs_d, valid_d, k=64)
+            np.asarray(d)  # full sync
+            lat.append(time.perf_counter() - t0)
+        p50_ms = sorted(lat)[len(lat) // 2] * 1000
+        print(f"query: {p50_ms:.2f} ms p50 for a {qb}-needle batch over "
+              f"{N / 1e6:.0f}M hashes ({p50_ms / qb:.3f} ms/needle amortized)",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "dct_hash_images_per_sec",
+        "value": round(imgs_per_sec, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / 50000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,15 +45,20 @@ _POW32 = (np.uint32(1) << np.arange(32, dtype=np.uint32))
 # autocrop (de-letterbox)
 # ---------------------------------------------------------------------------
 
-def _axis_runs(diff: jnp.ndarray, extent: jnp.ndarray, n: int):
-    """First/last True index along the last axis of ``diff`` within [0, extent).
+def _axis_runs(diff: jnp.ndarray, extent: jnp.ndarray, n: int, axis: int):
+    """First/last True index along ``axis`` of ``diff`` within [0, extent).
 
     @return (first, last_exclusive): for all-False rows, (extent, 0) — the
     convention the reference scan loops produce (src/cvutil.cpp:1316-1328).
+    Implemented as min/max reductions over masked indices (single pass per
+    reduction; no reversal relayout, VPU-friendly).
     """
-    any_ = diff.any(axis=-1)
-    first = jnp.argmax(diff, axis=-1)
-    last = (n - 1) - jnp.argmax(diff[..., ::-1], axis=-1)
+    shape = [1, 1, 1]
+    shape[axis] = n
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+    first = jnp.min(jnp.where(diff, idx, n), axis=axis)
+    last = jnp.max(jnp.where(diff, idx, -1), axis=axis)
+    any_ = last >= 0
     first = jnp.where(any_, first, extent)
     last_ex = jnp.where(any_, last + 1, 0)
     return first, last_ex
@@ -73,13 +78,13 @@ def autocrop_boxes(canvas: jnp.ndarray, sizes: jnp.ndarray,
     B, H, W = canvas.shape
     h = sizes[:, 0].astype(jnp.int32)[:, None]  # [B,1]
     w = sizes[:, 1].astype(jnp.int32)[:, None]
-    x = canvas.astype(jnp.int32)
+    x = canvas.astype(jnp.int16)  # |p - color| fits int16; halves HBM traffic
     color = x[:, 0:1, 0:1]  # [B,1,1]
 
     rows_i = jnp.arange(H, dtype=jnp.int32)
     cols_i = jnp.arange(W, dtype=jnp.int32)
     valid = (rows_i[None, :, None] < h[..., None]) & (cols_i[None, None, :] < w[..., None])
-    diff = (jnp.abs(x - color) > crop_range) & valid  # [B,H,W]
+    diff = (jnp.abs(x - color) > jnp.int16(crop_range)) & valid  # [B,H,W]
 
     min_w_cov = jnp.floor(w.astype(jnp.float32) * 0.66).astype(jnp.int32)
     min_h_cov = jnp.floor(h.astype(jnp.float32) * 0.66).astype(jnp.int32)
@@ -87,12 +92,11 @@ def autocrop_boxes(canvas: jnp.ndarray, sizes: jnp.ndarray,
     max_v_margin = jnp.floor(h.astype(jnp.float32) * 0.05).astype(jnp.int32)
 
     # rows: left/right runs of border color
-    left_r, right_r = _axis_runs(diff, w, W)  # [B,H]
+    left_r, right_r = _axis_runs(diff, w, W, axis=2)  # [B,H]
     is_lb_row = (left_r > 0) & (right_r < w) & (left_r + w - right_r > min_w_cov)
 
-    # cols: top/bottom runs (reduce over rows)
-    diff_t = jnp.swapaxes(diff, 1, 2)  # [B,W,H]
-    top_c, bot_c = _axis_runs(diff_t, h, H)  # [B,W]
+    # cols: top/bottom runs (reduce over rows, no transpose)
+    top_c, bot_c = _axis_runs(diff, h, H, axis=1)  # [B,W]
     is_lb_col = (top_c > 0) & (bot_c < h) & (top_c + h - bot_c > min_h_cov)
 
     r_idx = rows_i[None, :]
@@ -207,13 +211,14 @@ def dct_hash_from_boxes(canvas: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     mh = jax.vmap(functools.partial(_axis_map, n_out=32, n_canvas=H))(top, hh, rblur)
     mw = jax.vmap(functools.partial(_axis_map, n_out=32, n_canvas=W))(left, ww, rblur)
 
-    # precision=HIGHEST: TPU matmuls default to bf16 passes, which flips
-    # hash bits sitting near the threshold; this pipeline is tiny so full
-    # f32 precision costs nothing measurable
+    # canvas-side matmuls run at DEFAULT precision: uint8 pixels are exact
+    # in bf16 and the resize/blur weights lose only ~2^-8 relative — while
+    # the tiny 32x32 DCT matmuls keep HIGHEST so coefficients compared
+    # against the mean threshold stay bit-stable vs the numpy golden model
     hp = jax.lax.Precision.HIGHEST
     x = canvas.astype(jnp.float32)
-    g = jnp.einsum("bih,bhw->biw", mh, x, precision=hp)
-    g = jnp.einsum("biw,bjw->bij", g, mw, precision=hp)  # [B,32,32] blurred+resized
+    g = jnp.einsum("bih,bhw->biw", mh, x)
+    g = jnp.einsum("biw,bjw->bij", g, mw)  # [B,32,32] blurred+resized
 
     d = jnp.asarray(_D32)
     freq = jnp.einsum("ki,bij->bkj", d, g, precision=hp)

@@ -1,0 +1,115 @@
+"""Multi-chip sharded search: index sharding over ICI + top-k merge.
+
+The TPU-native equivalent of the reference's single communication need
+(SURVEY.md §2.4): there are no gradients or pipelines in this workload —
+the one collective primitive is *sharded scan + top-k combine*.
+
+Design: the packed hash array is sharded across chips on the item axis
+(``index`` mesh axis); needles are replicated (or sharded over ``batch``
+for all-pairs search).  Each chip scans its HBM-resident shard with the
+XOR-popcount kernel, produces a local top-k, then an ``all_gather`` over
+ICI merges the per-shard candidates — k·S values per needle instead of N,
+so the collective is tiny (kilobytes) while the scan bandwidth scales
+linearly with chip count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.hamming import BAD_DIST, _chunk_dists
+
+
+def make_mesh(devices=None, axes: tuple[str, str] = ("batch", "index")) -> Mesh:
+    """Factor available devices into a 2D (batch, index) mesh: batch shards
+    needles (data parallel), index shards the haystack (the analog of tensor
+    parallelism for this workload)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    bi = 1
+    for f in (2, 3, 5, 7):
+        while bi * f <= max(1, int(np.sqrt(n))) and n % (bi * f) == 0:
+            bi *= f
+    mesh_devices = np.array(devices).reshape(bi, n // bi)
+    return Mesh(mesh_devices, axes)
+
+
+def _local_topk(needles, haystack, valid, k: int):
+    """Single-shard top-k (no jit wrapper — runs inside shard_map)."""
+    d = _chunk_dists(needles[:, 0], needles[:, 1], haystack[:, 0], haystack[:, 1])
+    d = jnp.where(valid[None, :], d, BAD_DIST)
+    neg, idx = jax.lax.top_k(-d, k)
+    return -neg, idx
+
+
+def sharded_hamming_topk(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
+                         valid: jnp.ndarray, k: int = 64):
+    """Distributed threshold/top-k search.
+
+    needles [Q, 2] u32 (replicated), haystack [N, 2] u32 sharded over the
+    ``index`` axis (N divisible by the index axis size), valid [N] bool.
+    @return (dists [Q, k], global indices [Q, k]) fully replicated.
+    """
+    idx_axis = mesh.axis_names[1]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(idx_axis, None), P(idx_axis)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def run(n, h, v):
+        local_d, local_i = _local_topk(n, h, v, k)
+        shard = jax.lax.axis_index(idx_axis)
+        local_i = local_i + shard * h.shape[0]
+        # merge the per-shard candidate sets (k·S values/needle over ICI)
+        all_d = jax.lax.all_gather(local_d, idx_axis)  # [S, Q, k]
+        all_i = jax.lax.all_gather(local_i, idx_axis)
+        s, q, kk = all_d.shape
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kk)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(q, s * kk)
+        neg, sel = jax.lax.top_k(-all_d, kk)
+        return -neg, jnp.take_along_axis(all_i, sel, axis=1)
+
+    return run(needles, haystack, valid)
+
+
+def sharded_all_pairs_step(mesh: Mesh, needles: jnp.ndarray,
+                           haystack: jnp.ndarray, valid: jnp.ndarray,
+                           k: int = 16):
+    """One all-pairs (-similar) step over a 2D mesh: needles sharded over
+    ``batch``, haystack sharded over ``index``; each (b, i) chip scans its
+    (needle, item) block, the ``index`` axis merges top-k."""
+    b_axis, i_axis = mesh.axis_names
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(b_axis, None), P(i_axis, None), P(i_axis)),
+        out_specs=(P(b_axis, None), P(b_axis, None)),
+        check_vma=False)
+    def run(n, h, v):
+        local_d, local_i = _local_topk(n, h, v, k)
+        shard = jax.lax.axis_index(i_axis)
+        local_i = local_i + shard * h.shape[0]
+        all_d = jax.lax.all_gather(local_d, i_axis)
+        all_i = jax.lax.all_gather(local_i, i_axis)
+        s, q, kk = all_d.shape
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kk)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(q, s * kk)
+        neg, sel = jax.lax.top_k(-all_d, kk)
+        return -neg, jnp.take_along_axis(all_i, sel, axis=1)
+
+    return run(needles, haystack, valid)
+
+
+def shard_index_arrays(mesh: Mesh, haystack: np.ndarray, valid: np.ndarray):
+    """Place packed host arrays onto the mesh with index-axis sharding."""
+    idx_axis = mesh.axis_names[1]
+    hs = jax.device_put(haystack, NamedSharding(mesh, P(idx_axis, None)))
+    vs = jax.device_put(valid, NamedSharding(mesh, P(idx_axis)))
+    return hs, vs

@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# the axon sitecustomize hook force-updates jax_platforms to "axon,cpu" at
+# interpreter start, overriding the env var — override it back
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
