@@ -183,6 +183,12 @@ class Engine:
 
         matches = self.db.similar_to(needle, params)
 
+        if params.templateMatch and matches:
+            from .template_matcher import TemplateMatcher
+            if not hasattr(self, "_tm"):
+                self._tm = TemplateMatcher(self.scanner.decode_image)
+            self._tm.match(needle, matches, params)
+
         if params.mirrorMask and params.algo != SearchParams.ALGO_COLOR:
             matches += self._mirror_query(needle, params)
             seen = set()

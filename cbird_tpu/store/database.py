@@ -496,11 +496,18 @@ class Database:
         id_map = {m.id: m for m in haystack}
         needles = [m for m in haystack if m.type_flag() & params.queryTypes]
 
+        tm = None
+        if params.templateMatch:
+            from ..host.template_matcher import TemplateMatcher
+            tm = TemplateMatcher()
+
         results: MediaGroupList = []
         all_matches = index.find_batch(needles, params)
         for needle, matches in zip(needles, all_matches):
             matches = self._escalate(index, needle, params, matches)
             group = self._matches_to_group(index, needle, params, matches, id_map)
+            if group and tm is not None:
+                tm.match(needle, group, params)
             if group:
                 needle2 = needle
                 # propagate the first matched frame into the needle's range so
