@@ -22,7 +22,7 @@ from ..store.media import (Media, group_by, property_func, sort_group,
                            sort_group_list)
 from ..utils.log import error, info, set_verbosity, warn
 
-USAGE = """cbird-tpu %s — TPU-native content-based image/video duplicate finder
+USAGE = """cbird-tpu VERSION — TPU-native content-based image/video duplicate finder
 
 usage: cbird [args...]   (arguments are executed in order)
 
@@ -39,16 +39,37 @@ usage: cbird [args...]   (arguments are executed in order)
     -similar-to <file>  find items similar to file/dir (needle)
     -dups               find exact duplicates (md5)
 
+  search scopes:
+    -similar-in <dir>   -similar within a subdirectory only
+    -dups-in <dir>      -dups within a subdirectory only
+
   selection/results:
     -select-all         select all indexed media
     -select-path <dir>  select indexed media under directory
+    -select-type <t>    select by type (i,v,a)
+    -select-id <n>      select by media id
+    -select-one <file>  select a single indexed file
+    -select-none        clear selection
+    -select-result      selection = flattened current result
     -select-errors      select files that failed indexing
+    -weeds              select media recorded as weeds
+    -with <prop> <expr>    filter selection/results by expression
+    -or-with <prop> <expr> add an OR alternative to the last filter
     -sort <prop>        sort current result groups by property
     -group-by <prop>    group current selection by property expression
     -head <n> / -tail <n>  keep first/last n groups
+    -first / -chop      keep only / drop the first group
     -dump               print result groups as text
     -json               print result groups as JSON
     -count              print number of groups/items
+
+  file operations:
+    -rename <find> <replace> [opts]  regex rename selection (captures #n,
+                        sequence %n, {prop} templates; opts: v=verbose, p=match path)
+    -move <dir>         move selection into directory (index preserved)
+    -nuke               delete selected files (CBIRD_TRASH_DIR honored)
+    -nuke-dups-in <dir> delete dups under dir, keep copies elsewhere (records weeds)
+    -nuke-weeds         delete all known weeds
 
   parameters:
     -p.<key> <value>    search parameter (see -list-params)
@@ -61,7 +82,7 @@ usage: cbird [args...]   (arguments are executed in order)
     -args <file>        insert arguments from file
     -v / -q             verbose / quiet logging
     -h, -help           this text
-""" % __version__
+""".replace("VERSION", __version__)
 
 
 class Cli:
@@ -208,6 +229,136 @@ class Cli:
         if a == "-dups":
             self.result = self.engine().db.dups_by_md5(self.search)
             info(f"{len(self.result)} duplicate groups")
+            return i + 1
+
+        if a == "-similar-in":
+            d = self._need(args, i, "a directory")
+            prefix = os.path.abspath(os.path.join(self.index_dir, d))
+            sp = self.search.copy()
+            sp.set = [m for m in self.engine().db.all_media()
+                      if m.path.startswith(prefix)]
+            sp.inSet = True
+            self.result = self.engine().db.similar(sp)
+            info(f"{len(self.result)} groups")
+            return i + 2
+        if a == "-dups-in":
+            d = self._need(args, i, "a directory")
+            prefix = os.path.abspath(os.path.join(self.index_dir, d))
+            groups = self.engine().db.dups_by_md5(self.search)
+            self.result = [g for g in groups
+                           if any(m.path.startswith(prefix) for m in g)]
+            info(f"{len(self.result)} duplicate groups")
+            return i + 2
+
+        if a == "-with" or a == "-or-with":
+            from .commands import filter_groups, filter_selection
+            prop = self._need(args, i, "a property")
+            if i + 2 >= len(args):
+                raise ParamError(f"{a} requires <prop> <expr>")
+            expr = args[i + 2]
+            if a == "-with":
+                self._prefilter = (list(self.selection), [list(g) for g in self.result])
+                if self.selection:
+                    self.selection = filter_selection(self.selection, prop, expr)
+                    self.result = [self.selection] if self.selection else []
+                else:
+                    self.result = filter_groups(self.result, prop, expr)
+            else:
+                if not hasattr(self, "_prefilter"):
+                    raise ParamError("-or-with requires a preceding -with")
+                sel0, res0 = self._prefilter
+                if sel0:
+                    extra = filter_selection(sel0, prop, expr)
+                    seen = {m.path for m in self.selection}
+                    self.selection += [m for m in extra if m.path not in seen]
+                    self.result = [self.selection] if self.selection else []
+                else:
+                    extra = filter_groups(res0, prop, expr)
+                    seen = {tuple(m.path for m in g) for g in self.result}
+                    self.result += [g for g in extra
+                                    if tuple(m.path for m in g) not in seen]
+            return i + 3
+
+        if a == "-rename":
+            from .commands import rename
+            find = self._need(args, i, "<find> <replace>")
+            if i + 2 >= len(args):
+                raise ParamError("-rename requires <find> <replace>")
+            replace = args[i + 2]
+            opts = ""
+            used = 3
+            if i + 3 < len(args) and not args[i + 3].startswith("-"):
+                opts = args[i + 3]
+                used = 4
+            n = rename(self.engine().db, self.selection, find, replace, opts,
+                       dry_run=self.index.dryRun)
+            info(f"renamed {n} files")
+            return i + used
+        if a == "-move":
+            d = self._need(args, i, "a directory")
+            dst = os.path.join(self.index_dir, d) if not os.path.isabs(d) else d
+            os.makedirs(dst, exist_ok=True)
+            moved = sum(1 for m in list(self.selection)
+                        if self.engine().db.move(m, dst))
+            info(f"moved {moved} files to {dst}")
+            return i + 2
+        if a == "-nuke":
+            from .commands import nuke
+            n = nuke(self.engine().db, self.selection)
+            info(f"nuked {n} files")
+            self.selection = []
+            return i + 1
+        if a == "-nuke-dups-in":
+            from .commands import nuke_dups_in
+            d = self._need(args, i, "a directory")
+            prefix = os.path.abspath(os.path.join(self.index_dir, d))
+            groups = self.result or self.engine().db.dups_by_md5(self.search)
+            n = nuke_dups_in(self.engine().db, groups, prefix)
+            info(f"nuked {n} duplicate files under {prefix}")
+            return i + 2
+        if a == "-nuke-weeds":
+            from .commands import nuke_weeds
+            n = nuke_weeds(self.engine().db)
+            info(f"nuked {n} weeds")
+            return i + 1
+        if a == "-weeds":
+            db = self.engine().db
+            self.selection = [m for m in db.all_media() if db.is_weed(m)]
+            self.result = [self.selection] if self.selection else []
+            return i + 1
+
+        if a == "-select-type":
+            t = self._need(args, i, "a type (i,v,a)")
+            tmap = {"i": 1, "v": 2, "a": 3}
+            if t not in tmap:
+                raise ParamError(f"bad type: {t}")
+            self.selection = [m for m in self.engine().db.all_media()
+                              if m.type == tmap[t]]
+            self.result = [self.selection] if self.selection else []
+            return i + 2
+        if a == "-select-id":
+            mid = int(self._need(args, i, "an id"))
+            m = self.engine().db.media_with_id(mid)
+            self.selection = [m] if m.is_valid() else []
+            self.result = [self.selection] if self.selection else []
+            return i + 2
+        if a == "-select-one":
+            f = self._need(args, i, "a file")
+            m = self.engine().db.media_with_path(os.path.abspath(f))
+            self.selection = [m] if m.is_valid() else []
+            self.result = [self.selection] if self.selection else []
+            return i + 2
+        if a == "-select-none":
+            self.selection = []
+            return i + 1
+        if a == "-select-result":
+            self.selection = [m for g in self.result for m in g]
+            return i + 1
+        if a == "-first":
+            self.result = self.result[:1]
+            return i + 1
+        if a == "-chop":
+            self.result = self.result[1:]
             return i + 1
 
         if a == "-select-all":
