@@ -142,6 +142,10 @@ def compress_hash_run(hashes: np.ndarray, threshold: int):
     n = len(hashes)
     if n == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.uint64)
+    from ..native import window_compress
+    native = window_compress(np.asarray(hashes, dtype=np.uint64), threshold)
+    if native is not None:  # one C iteration per decoded frame vs Python loop
+        return native
     frames = [0]
     kept = [hashes[0]]
     window: list[int] = []

@@ -1,0 +1,201 @@
+// Native host-side hot paths (C++17, no external deps).
+//
+// The reference implements its whole runtime in C++; in this TPU-native
+// rebuild the device does the heavy math, but three host loops remain hot
+// and byte-/branch-bound — exactly what Python is worst at:
+//
+//  1. jpeg_payload_offset: JPEG marker walk to find the SOS offset so md5
+//     ignores EXIF/APPn segments (reference src/scanner.cpp:927-964).
+//  2. window_compress: the sequential per-frame hash-run compression for
+//     video indexing (reference src/media.cpp:998-1031) — data-dependent
+//     control flow, one iteration per decoded frame.
+//  3. hamming_scan / hamming_knn: POPCNT brute scan (reference src/hamm.h,
+//     src/tree/radix.h:187-230) used as the small-index fast path where
+//     device dispatch latency would dominate, and as the no-TPU fallback.
+//
+// Built as a plain shared library, loaded via ctypes (see __init__.py);
+// every entry point has a pure-Python fallback so the package works
+// without a compiler.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+#if defined(__GNUC__)
+#define EXPORT extern "C" __attribute__((visibility("default")))
+#else
+#define EXPORT extern "C"
+#endif
+
+static inline int popcount64(uint64_t v) {
+#if defined(__GNUC__)
+    return __builtin_popcountll(v);
+#else
+    v = v - ((v >> 1) & 0x5555555555555555ull);
+    v = (v & 0x3333333333333333ull) + ((v >> 2) & 0x3333333333333333ull);
+    v = (v + (v >> 4)) & 0x0f0f0f0f0f0f0f0full;
+    return (int)((v * 0x0101010101010101ull) >> 56);
+#endif
+}
+
+// ---------------------------------------------------------------------------
+// 1. jpeg payload
+// ---------------------------------------------------------------------------
+
+// Return the byte offset of the first SOS (0xFFDA) marker, skipping
+// application segments (0xFFE1-0xFFEF) by their declared length so embedded
+// thumbnails can't fake the offset.  0 = no SOS found (hash whole file).
+EXPORT int64_t cbird_jpeg_payload_offset(const uint8_t* data, int64_t size) {
+    int64_t i = 0;
+    int64_t payload_start = 0;
+    while (i < size) {
+        if (data[i++] == 0xFF) {
+            if (i < size) {
+                const int code = data[i];
+                if (code != 0xFF && code != 0x00 &&
+                    ((code >= 0xD0 && code <= 0xDD) || (code >= 0xE0 && code <= 0xEF))) {
+                    const int64_t start = i - 1;
+                    if (code >= 0xE1 && code <= 0xEF) {
+                        if (i + 2 < size) {
+                            const int64_t app_len = (int64_t(data[i + 1]) << 8) | data[i + 2];
+                            i += app_len;
+                        }
+                    } else if (code == 0xDA && payload_start == 0) {
+                        payload_start = start;
+                    }
+                }
+                if (code != 0xFF) i++;
+            }
+        }
+    }
+    return payload_start;
+}
+
+// ---------------------------------------------------------------------------
+// 2. video hash-run window compression
+// ---------------------------------------------------------------------------
+
+// Compress a per-frame hash run: frame 0 always retained; a frame is
+// retained when at least one window hash (since the last retained frame)
+// differs by >= threshold; the final frame is always appended.  Matches the
+// reference semantics exactly, including the empty-window drop of frame 1.
+// out_frames/out_hashes must have capacity n+1.  Returns retained count.
+EXPORT int64_t cbird_window_compress(const uint64_t* hashes, int64_t n,
+                                     int threshold, int32_t* out_frames,
+                                     uint64_t* out_hashes) {
+    if (n <= 0) return 0;
+    int64_t count = 0;
+    out_frames[count] = 0;
+    out_hashes[count] = hashes[0];
+    count++;
+    std::vector<uint64_t> window;
+    window.reserve(64);
+    for (int64_t i = 1; i < n; ++i) {
+        const uint64_t h = hashes[i];
+        if (threshold > 0) {
+            size_t close = 0;
+            for (uint64_t prev : window)
+                if (popcount64(prev ^ h) < threshold) close++;
+            if (close != window.size()) {
+                window.clear();
+                out_frames[count] = (int32_t)i;
+                out_hashes[count] = h;
+                count++;
+            }
+            window.push_back(h);
+        } else {
+            out_frames[count] = (int32_t)i;
+            out_hashes[count] = h;
+            count++;
+        }
+    }
+    const int32_t last = (int32_t)(n - 1);
+    if (out_frames[count - 1] != last) {
+        out_frames[count] = last;
+        out_hashes[count] = window.empty() ? hashes[n - 1] : window.back();
+        count++;
+    }
+    return count;
+}
+
+// ---------------------------------------------------------------------------
+// 3. CPU Hamming scans
+// ---------------------------------------------------------------------------
+
+// Threshold scan of one needle over n hashes; rows with id 0 are
+// tombstones.  Results are appended up to cap; returns hit count (possibly
+// > cap, caller may re-run with a bigger buffer).
+EXPORT int64_t cbird_hamming_scan(const uint64_t* hashes, const uint32_t* ids,
+                                  int64_t n, uint64_t needle, int threshold,
+                                  int32_t* out_idx, int32_t* out_dist,
+                                  int64_t cap) {
+    int64_t hits = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int d = popcount64(hashes[i] ^ needle);
+        if (d < threshold && ids[i] != 0) {
+            if (hits < cap) {
+                out_idx[hits] = (int32_t)i;
+                out_dist[hits] = d;
+            }
+            hits++;
+        }
+    }
+    return hits;
+}
+
+// k-nearest (by Hamming distance) for a batch of needles; insertion sort
+// into a per-needle heap-less top-k (k is small).  out arrays are [q, k];
+// missing slots get dist 0x7FFF / idx -1.
+EXPORT void cbird_hamming_knn(const uint64_t* hashes, const uint32_t* ids,
+                              int64_t n, const uint64_t* needles, int64_t q,
+                              int k, int32_t* out_idx, int32_t* out_dist) {
+    for (int64_t t = 0; t < q; ++t) {
+        int32_t* bi = out_idx + t * k;
+        int32_t* bd = out_dist + t * k;
+        for (int j = 0; j < k; ++j) { bi[j] = -1; bd[j] = 0x7FFF; }
+        const uint64_t needle = needles[t];
+        for (int64_t i = 0; i < n; ++i) {
+            if (ids[i] == 0) continue;
+            const int d = popcount64(hashes[i] ^ needle);
+            if (d < bd[k - 1]) {
+                int j = k - 1;
+                while (j > 0 && bd[j - 1] > d) {
+                    bd[j] = bd[j - 1];
+                    bi[j] = bi[j - 1];
+                    --j;
+                }
+                bd[j] = d;
+                bi[j] = (int32_t)i;
+            }
+        }
+    }
+}
+
+// 256-bit (4x64) descriptor variant of the knn scan (ORB descriptors).
+EXPORT void cbird_hamming256_knn(const uint64_t* desc, const uint32_t* ids,
+                                 int64_t n, const uint64_t* needles, int64_t q,
+                                 int k, int32_t* out_idx, int32_t* out_dist) {
+    for (int64_t t = 0; t < q; ++t) {
+        int32_t* bi = out_idx + t * k;
+        int32_t* bd = out_dist + t * k;
+        for (int j = 0; j < k; ++j) { bi[j] = -1; bd[j] = 0x7FFF; }
+        const uint64_t* nd = needles + t * 4;
+        for (int64_t i = 0; i < n; ++i) {
+            if (ids[i] == 0) continue;
+            const uint64_t* hd = desc + i * 4;
+            const int d = popcount64(hd[0] ^ nd[0]) + popcount64(hd[1] ^ nd[1])
+                        + popcount64(hd[2] ^ nd[2]) + popcount64(hd[3] ^ nd[3]);
+            if (d < bd[k - 1]) {
+                int j = k - 1;
+                while (j > 0 && bd[j - 1] > d) {
+                    bd[j] = bd[j - 1];
+                    bi[j] = bi[j - 1];
+                    --j;
+                }
+                bd[j] = d;
+                bi[j] = (int32_t)i;
+            }
+        }
+    }
+}

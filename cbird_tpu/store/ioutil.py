@@ -88,6 +88,10 @@ def jpeg_payload(data: bytes) -> bytes:
     declared length since they may embed a thumbnail jpeg whose SOS would
     give the wrong offset.
     """
+    from ..native import jpeg_payload_offset
+    off = jpeg_payload_offset(data)
+    if off is not None:  # native marker walk (pure-Python loop below is slow)
+        return data[off:] if off else data
     i = 0
     payload_start = 0
     size = len(data)
