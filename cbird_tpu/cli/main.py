@@ -361,6 +361,25 @@ class Cli:
             self.result = self.result[1:]
             return i + 1
 
+        if a == "-qualityscore":
+            from ..ops.quality import quality_score
+            from ..store.jpeg_quality import estimate_jpeg_quality
+            from ..host.scanner import read_bytes
+            from PIL import Image as PILImage
+            import io as _io
+            import numpy as _np
+            for m in (self.selection or [x for g in self.result for x in g]):
+                try:
+                    data = read_bytes(m.path)
+                    img = _np.asarray(PILImage.open(_io.BytesIO(data)).convert("RGB"))
+                    score = quality_score(img)
+                    jq = estimate_jpeg_quality(data)
+                    jq_txt = f" jpeg-quality={jq}" if jq is not None else ""
+                    print(f"{m.path} quality={score}{jq_txt}")
+                except Exception as e:  # noqa: BLE001 — per-file diagnostics
+                    warn(f"qualityscore: {m.path}: {e}")
+            return i + 1
+
         if a == "-select-all":
             self.selection = self.engine().db.all_media()
             self.result = [self.selection] if self.selection else []
