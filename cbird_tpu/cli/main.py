@@ -195,6 +195,8 @@ class Cli:
             info(f"created index in {self.index_dir}")
             return i + 1
         if a == "-update":
+            from ..utils.env import set_idle_priority
+            set_idle_priority()
             stats = self.engine().update()
             info(f"added {stats['added']}, removed {stats['removed']}, "
                  f"modified {stats['modified']}, errors {len(stats['errors'])}")
@@ -418,6 +420,20 @@ class Cli:
             self.result = self.result[-n:] if n else []
             return i + 2
 
+        if a == "-show":
+            from .report import write_report
+            out = os.environ.get("CBIRD_REPORT",
+                                 os.path.join(self.index_dir, "cbird-results.html"))
+            write_report(self.result, out, title=f"cbird {self.index_dir}")
+            return i + 1
+        if a == "-test-csv":
+            from .testcsv import run_test_csv
+            f = self._need(args, i, "a csv file")
+            stats = run_test_csv(self.engine(), self.search, f)
+            if stats["fail"]:
+                raise ParamError(f"test-csv: {stats['fail']} failures")
+            return i + 2
+
         if a == "-dump":
             self._dump_text()
             return i + 1
@@ -444,10 +460,16 @@ class Cli:
 
     def _about(self) -> None:
         import jax
+        from ..utils.env import process_memory, system_memory
         print(f"cbird-tpu {__version__}")
         print(f"jax {jax.__version__}; devices: "
               f"{[str(d) for d in jax.devices()]}")
         print("capacity: 2^31 media ids; 2^24 videos; 2^24 frames/video")
+        total, avail = system_memory()
+        print(f"memory: process {process_memory() >> 20} MB; "
+              f"system {avail >> 20}/{total >> 20} MB available")
+        from ..native import load as native_load
+        print(f"native host library: {'loaded' if native_load() else 'unavailable'}")
         idx = os.path.join(self.index_dir, "_index")
         if os.path.isdir(idx):
             eng = self.engine()

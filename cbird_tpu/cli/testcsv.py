@@ -1,0 +1,59 @@
+"""CSV accuracy harness (`-test-csv`) — regression testing for search recall.
+
+Rebuild of the reference's in-binary test harness
+(/root/reference/src/commands.cpp:1173, -test-csv): a CSV of
+``needle,expected-match[,expected-match...]`` rows is queried against the
+index with the current search parameters; results are written to
+``match.csv`` next to the input and a pass/fail summary is printed.  This is
+the tool for checking recall parity against the reference corpus.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from ..store.media import Media
+from ..utils.log import info, warn
+
+
+def run_test_csv(engine, params, csv_path: str) -> dict:
+    """@return {"rows": n, "pass": n_pass, "fail": n_fail}"""
+    root = engine.db.path()
+
+    def resolve(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(root, p)
+
+    rows = []
+    with open(csv_path, newline="") as f:
+        for rec in csv.reader(f):
+            rec = [c.strip() for c in rec if c.strip()]
+            if not rec or rec[0].startswith("#"):
+                continue
+            rows.append(rec)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(csv_path)),
+                            "match.csv")
+    n_pass = n_fail = 0
+    with open(out_path, "w", newline="") as out:
+        w = csv.writer(out)
+        w.writerow(["needle", "expected", "found", "result", "matches"])
+        for rec in rows:
+            needle_path = resolve(rec[0])
+            expected = {os.path.basename(resolve(p)) for p in rec[1:]}
+            needle = engine.db.media_with_path(needle_path)
+            if not needle.is_valid():
+                needle = Media(needle_path)
+            matches = engine.query(needle, params)
+            got = {os.path.basename(m.path) for m in matches}
+            ok = expected <= got if expected else bool(got)
+            n_pass += ok
+            n_fail += not ok
+            w.writerow([rec[0], ";".join(sorted(expected)),
+                        ";".join(sorted(got)), "pass" if ok else "FAIL",
+                        len(matches)])
+            if not ok:
+                warn(f"test-csv FAIL: {rec[0]} expected {sorted(expected)} "
+                     f"got {sorted(got)}")
+    info(f"test-csv: {n_pass}/{len(rows)} passed -> {out_path}")
+    return {"rows": len(rows), "pass": n_pass, "fail": n_fail}
