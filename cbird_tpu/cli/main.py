@@ -85,6 +85,20 @@ usage: cbird [args...]   (arguments are executed in order)
 """.replace("VERSION", __version__)
 
 
+_KNOWN_VERBS = [
+    "-use", "-create", "-update", "-remove", "-vacuum", "-verify", "-migrate",
+    "-similar", "-similar-to", "-similar-in", "-dups", "-dups-in",
+    "-select-all", "-select-path", "-select-type", "-select-id", "-select-one",
+    "-select-none", "-select-result", "-select-errors", "-weeds",
+    "-with", "-or-with", "-sort", "-group-by", "-head", "-tail", "-first",
+    "-chop", "-dump", "-json", "-count", "-show", "-test-csv",
+    "-rename", "-move", "-nuke", "-nuke-dups-in", "-nuke-weeds",
+    "-qualityscore", "-video-thumbnail", "-compare-videos",
+    "-list-params", "-list-index-params", "-about", "-args", "-complete",
+    "-v", "-q", "-h", "-help", "-version",
+]
+
+
 class Cli:
     def __init__(self):
         self.index_dir = os.getcwd()
@@ -363,6 +377,38 @@ class Cli:
             self.result = self.result[1:]
             return i + 1
 
+        if a == "-complete":
+            # emit a bash completion script (reference -complete,
+            # src/main.cpp:150-354)
+            verbs = sorted({w for w in _KNOWN_VERBS})
+            p_keys = " ".join(f"-p.{s.key}" for s in self.search.SPECS)
+            i_keys = " ".join(f"-i.{s.key}" for s in self.index.SPECS)
+            print(f"""# bash completion for cbird (source this file)
+_cbird_complete() {{
+  local cur="${{COMP_WORDS[COMP_CWORD]}}"
+  COMPREPLY=( $(compgen -W "{' '.join(verbs)} {p_keys} {i_keys}" -- "$cur") )
+  [ -z "$COMPREPLY" ] && COMPREPLY=( $(compgen -f -- "$cur") )
+}}
+complete -F _cbird_complete cbird""")
+            return i + 1
+
+        if a == "-video-thumbnail":
+            f = self._need(args, i, "<file> <frame>")
+            if i + 2 >= len(args):
+                raise ParamError("-video-thumbnail requires <file> <frame>")
+            frame_no = int(args[i + 2])
+            self._video_thumbnail(os.path.abspath(f), frame_no)
+            return i + 3
+        if a == "-compare-videos":
+            f1 = self._need(args, i, "<a> <b>")
+            if i + 2 >= len(args):
+                raise ParamError("-compare-videos requires two files")
+            self._compare_videos(os.path.abspath(f1), os.path.abspath(args[i + 2]))
+            return i + 3
+        if a == "-migrate":
+            self._migrate()
+            return i + 1
+
         if a == "-qualityscore":
             from ..ops.quality import quality_score
             from ..store.jpeg_quality import estimate_jpeg_quality
@@ -500,6 +546,92 @@ class Cli:
                 warn(f"md5 mismatch: {m.path}")
                 bad += 1
         info(f"verify: {bad} problems in {db.count()} items")
+
+    def _video_thumbnail(self, path: str, frame_no: int) -> None:
+        """Save one decoded frame as <name>-frame<N>.png (reference
+        -video-thumbnail)."""
+        from ..host.video import backend_for
+        from PIL import Image
+        be = backend_for(path)
+        if be is None:
+            raise ParamError(f"no decode backend for {path}")
+        for n, frame in enumerate(be.frames(path, max_side=100000)):
+            if n == frame_no:
+                out = os.path.splitext(path)[0] + f"-frame{frame_no}.png"
+                Image.fromarray(frame).save(out)
+                info(f"wrote {out}")
+                return
+        raise ParamError(f"frame {frame_no} beyond end of {path}")
+
+    def _compare_videos(self, a: str, b: str) -> None:
+        """Align two videos by their hash sequences and export matched frame
+        pairs side by side (headless stand-in for the reference
+        VideoCompareWidget)."""
+        from ..host.video import backend_for, make_video_index
+        from ..ops.ref_numpy import hamming64
+        from PIL import Image
+        import numpy as np
+        pair = []
+        for p in (a, b):
+            be = backend_for(p)
+            if be is None:
+                raise ParamError(f"no decode backend for {p}")
+            pair.append(make_video_index(be.frames(p), self.index.videoThreshold))
+        ia, ib = pair
+        # best alignment: for a few reference frames of A find nearest in B
+        alignments = []
+        for k in range(0, len(ia.frames), max(1, len(ia.frames) // 9)):
+            ha = int(ia.hashes[k])
+            dists = [hamming64(ha, int(h)) for h in ib.hashes]
+            j = int(np.argmin(dists))
+            alignments.append((int(ia.frames[k]), int(ib.frames[j]), dists[j]))
+        offset = int(np.median([bf - af for af, bf, _ in alignments]))
+        print(f"alignment offset: {offset:+d} frames "
+              f"(median of {len(alignments)} probes)")
+        for af, bf, d in alignments:
+            print(f"  A frame {af} <-> B frame {bf} (distance {d})")
+        # export the middle matched pair for visual check
+        mid = alignments[len(alignments) // 2]
+        out = os.path.join(os.path.dirname(a) or ".", "compare.png")
+        fa = self._grab_frame(a, mid[0])
+        fb = self._grab_frame(b, mid[1])
+        if fa is not None and fb is not None:
+            h = max(fa.shape[0], fb.shape[0])
+            w = fa.shape[1] + fb.shape[1] + 8
+            canvas = np.zeros((h, w), dtype=np.uint8)
+            canvas[:fa.shape[0], :fa.shape[1]] = fa
+            canvas[:fb.shape[0], fa.shape[1] + 8:] = fb
+            Image.fromarray(canvas).save(out)
+            info(f"wrote {out}")
+
+    @staticmethod
+    def _grab_frame(path: str, frame_no: int):
+        from ..host.video import backend_for
+        be = backend_for(path)
+        if be is None:
+            return None
+        for n, frame in enumerate(be.frames(path, max_side=100000)):
+            if n == frame_no:
+                return frame
+        return None
+
+    def _migrate(self) -> None:
+        """Validate and rewrite every .vdx in the current container format
+        (reference -migrate, src/videoindex.cpp:107-190)."""
+        from ..store.vdx import is_valid_vdx, load_vdx, save_vdx
+        vdir = self.engine().db.video_path()
+        ok = bad = 0
+        for name in sorted(os.listdir(vdir)):
+            if not name.endswith(".vdx"):
+                continue
+            p = os.path.join(vdir, name)
+            if not is_valid_vdx(p):
+                warn(f"migrate: invalid {p} (will re-index on next -update)")
+                bad += 1
+                continue
+            save_vdx(p, load_vdx(p))
+            ok += 1
+        info(f"migrate: rewrote {ok} video indexes, {bad} invalid")
 
     def _dump_text(self) -> None:
         for n, group in enumerate(self.result):
