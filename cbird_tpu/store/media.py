@@ -173,6 +173,39 @@ MediaGroup = list  # list[Media]; group[0] is the needle by convention
 MediaGroupList = list  # list[MediaGroup]
 
 
+def read_metadata(m: Media) -> None:
+    """Lazily populate m.attrs with exif:* keys (reference reads exif/iptc/
+    xmp via Exiv2; here PIL's EXIF reader covers the common tags used by
+    sort/filter expressions). Safe no-op on failure."""
+    if m.attrs.get("_meta_read"):
+        return
+    m.attrs["_meta_read"] = "1"
+    try:
+        import io
+        from PIL import Image, ExifTags
+        from ..host.scanner import read_bytes
+        img = Image.open(io.BytesIO(read_bytes(m.path)))
+        exif = img.getexif()
+        for tag_id, value in exif.items():
+            name = ExifTags.TAGS.get(tag_id)
+            if name:
+                m.attrs[f"exif:{name}"] = str(value)
+        # common aliases the reference exposes (Exiv2 key style)
+        for alias, name in (("exif:Photo.DateTimeOriginal", "DateTimeOriginal"),
+                            ("exif:Image.Model", "Model"),
+                            ("exif:Image.Make", "Make")):
+            ifd = exif.get_ifd(ExifTags.IFD.Exif) if hasattr(ExifTags, "IFD") else {}
+            for tid, val in ifd.items():
+                if ExifTags.TAGS.get(tid) == name:
+                    m.attrs[alias] = str(val)
+            if name in ("Model", "Make"):
+                for tid, val in exif.items():
+                    if ExifTags.TAGS.get(tid) == name:
+                        m.attrs[alias] = str(val)
+    except Exception:  # noqa: BLE001 — metadata is best-effort
+        pass
+
+
 # ---------------------------------------------------------------------------
 # property / expression engine (reference src/media.cpp:333-770)
 # ---------------------------------------------------------------------------
@@ -253,7 +286,10 @@ def property_func(expr: str) -> Callable[[Media], Any]:
     if ":" in prop:
         ns, key = prop.split(":", 1)
         if ns in ("exif", "iptc", "xmp", "ffmeta"):
-            getter: Callable[[Media], Any] = lambda m: m.attrs.get(prop, "")
+            def getter(m: Media, _prop=prop) -> Any:
+                if _prop not in m.attrs:
+                    read_metadata(m)
+                return m.attrs.get(_prop, "")
         else:
             raise ValueError(f"unknown property namespace: {ns}")
     elif prop in _PROPS:
