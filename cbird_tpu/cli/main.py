@@ -364,6 +364,28 @@ class Cli:
             self.selection = [m] if m.is_valid() else []
             self.result = [self.selection] if self.selection else []
             return i + 2
+        if a == "-select-sql":
+            # e.g. -select-sql "select * from media where width > 1000"
+            query = self._need(args, i, "a sql query")
+            if not query.strip().lower().startswith("select"):
+                raise ParamError("-select-sql only accepts SELECT statements")
+            db = self.engine().db
+            try:
+                rows = db.connect().execute(query).fetchall()
+            except Exception as e:  # sqlite3.Error
+                raise ParamError(f"sql error: {e}")
+            self.selection = []
+            for row in rows:
+                if len(row) >= 7:
+                    m = db._row_to_media(row)
+                    m.path = db._abs(m.path)
+                    self.selection.append(m)
+                elif len(row) >= 1:
+                    m = db.media_with_id(row[0])
+                    if m.is_valid():
+                        self.selection.append(m)
+            self.result = [self.selection] if self.selection else []
+            return i + 2
         if a == "-select-none":
             self.selection = []
             return i + 1
@@ -408,6 +430,12 @@ complete -F _cbird_complete cbird""")
         if a == "-migrate":
             self._migrate()
             return i + 1
+
+        if a == "-select-grid":
+            # split a collage/mosaic file into cell images next to it
+            f = self._need(args, i, "an image file")
+            self._select_grid(os.path.abspath(f))
+            return i + 2
 
         if a == "-qualityscore":
             from ..ops.quality import quality_score
@@ -547,6 +575,31 @@ complete -F _cbird_complete cbird""")
                 bad += 1
         info(f"verify: {bad} problems in {db.count()} items")
 
+    def _select_grid(self, path: str) -> None:
+        """Detect a collage grid and write each cell as its own image
+        (reference -select-grid / demosaicHough)."""
+        import io as _io
+        import numpy as _np
+        from PIL import Image as PILImage
+        from ..host.scanner import read_bytes
+        from ..ops.demosaic import brightness_contrast_auto, demosaic_rects
+        img = PILImage.open(_io.BytesIO(read_bytes(path))).convert("RGB")
+        arr = _np.asarray(img)
+        gray = _np.asarray(img.convert("L"))
+        rects = demosaic_rects(brightness_contrast_auto(gray))
+        if not rects:
+            warn(f"no grid detected in {path}")
+            return
+        stem, _, suffix = os.path.basename(path).rpartition(".")
+        outdir = os.path.dirname(path)
+        self.selection = []
+        for n, (t, b, l, r) in enumerate(rects):
+            out = os.path.join(outdir, f"{stem}-cell{n:02d}.{suffix or 'png'}")
+            PILImage.fromarray(arr[t:b, l:r]).save(out)
+            self.selection.append(Media(out))
+        self.result = [self.selection]
+        info(f"wrote {len(rects)} cells from {path}")
+
     def _video_thumbnail(self, path: str, frame_no: int) -> None:
         """Save one decoded frame as <name>-frame<N>.png (reference
         -video-thumbnail)."""
@@ -671,6 +724,15 @@ complete -F _cbird_complete cbird""")
 
 
 def main(argv: list[str] | None = None) -> int:
+    # CBIRD_PLATFORM=cpu forces the CPU backend even when a site hook pins
+    # jax to a TPU plugin (useful for scripting while the chip is busy)
+    plat = os.environ.get("CBIRD_PLATFORM")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # noqa: BLE001
+            pass
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print(USAGE)

@@ -203,28 +203,48 @@ class Engine:
         return matches
 
     def _mirror_query(self, needle: Media, params: SearchParams) -> MediaGroup:
-        """Re-hash flipped variants of the needle and search each
-        (reference src/engine.cpp:429-436). Only algorithms with hashable
-        needles participate (dct family)."""
-        if params.algo not in (SearchParams.ALGO_DCT, SearchParams.ALGO_VIDEO):
+        """Re-process flipped variants of the needle and search each
+        (reference src/engine.cpp:429-436).  dct/video re-hash; fdct/orb
+        re-extract features on the flipped image; color needs no mirror
+        pass (the histogram is orientation-invariant)."""
+        if params.algo == SearchParams.ALGO_COLOR:
             return []
         d = self.scanner.decode_image(needle.path)
         if d.gray is None:
             return []
-        out: MediaGroup = []
         flips = []
         if params.mirrorMask & SearchParams.MIRROR_HORIZONTAL:
-            flips.append(np.fliplr(d.gray))
+            flips.append(np.ascontiguousarray(np.fliplr(d.gray)))
         if params.mirrorMask & SearchParams.MIRROR_VERTICAL:
-            flips.append(np.flipud(d.gray))
+            flips.append(np.ascontiguousarray(np.flipud(d.gray)))
         if params.mirrorMask & SearchParams.MIRROR_BOTH:
-            flips.append(np.flipud(np.fliplr(d.gray)))
+            flips.append(np.ascontiguousarray(np.flipud(np.fliplr(d.gray))))
         if not flips:
             return []
-        hashes = self.scanner._hasher.hash_images(flips,
-                                                  do_crop=self.params.autocrop)
-        for h in hashes:
-            m = Media(needle.path, TYPE_IMAGE, d.width, d.height, d.md5, int(h),
-                      id=needle.id)
+
+        needles = []
+        if params.algo in (SearchParams.ALGO_DCT, SearchParams.ALGO_VIDEO):
+            hashes = self.scanner._hasher.hash_images(
+                flips, do_crop=self.params.autocrop)
+            for h in hashes:
+                m = Media(needle.path, TYPE_IMAGE, d.width, d.height, d.md5,
+                          int(h), id=needle.id)
+                needles.append(m)
+        elif params.algo in (SearchParams.ALGO_DCT_FEATURES,
+                             SearchParams.ALGO_CV_FEATURES):
+            from ..ops.orb import extract_features_batch
+            want_desc = params.algo == SearchParams.ALGO_CV_FEATURES
+            feats = extract_features_batch(
+                flips, self.params.numFeatures,
+                want_descriptors=want_desc, want_hashes=not want_desc)
+            for desc, hashes in feats:
+                m = Media(needle.path, TYPE_IMAGE, d.width, d.height, d.md5,
+                          id=needle.id)
+                m.keyPointDescriptors = desc
+                m.keyPointHashes = hashes
+                needles.append(m)
+
+        out: MediaGroup = []
+        for m in needles:
             out += self.db.similar_to(m, params)
         return out

@@ -1,0 +1,103 @@
+"""Grid/mosaic splitting (-select-grid) + histogram contrast stretch.
+
+Rebuild of the reference demosaic path (/root/reference/src/cvutil.cpp:
+brightnessAndContrastAuto/grayLevel/stretchContrast :578-665, findSolidLines
+:1403-1443, demosaicHough :1445+): collage sheets are split into their cell
+images by finding solid separator rows/columns (low intensity variance
+spanning the image), then emitting the sub-rectangles between them.
+
+The reference uses Canny+Hough; solid-line detection is its own fallback and
+is what actually matters for comic/photo contact sheets — implemented here
+as vectorized row/col variance scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def gray_level(gray: np.ndarray, clip_percent: float = 1.0) -> tuple[int, int]:
+    """Histogram-clipped intensity range (reference grayLevel)."""
+    if clip_percent <= 0:
+        return int(gray.min()), int(gray.max())
+    hist = np.bincount(gray.reshape(-1), minlength=256).astype(np.float64)
+    cum = np.cumsum(hist)
+    total = cum[-1]
+    clip = total * clip_percent / 100.0 / 2.0
+    lo = int(np.searchsorted(cum, clip))
+    hi = int(np.searchsorted(cum, total - clip))
+    return lo, max(hi, lo + 1)
+
+
+def stretch_contrast(img: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Linear LUT stretch of [lo, hi] to [0, 255] (reference stretchContrast)."""
+    scale = 255.0 / max(hi - lo, 1)
+    out = (img.astype(np.float64) - lo) * scale
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def brightness_contrast_auto(img: np.ndarray, clip_percent: float = 1.0) -> np.ndarray:
+    gray = img if img.ndim == 2 else \
+        (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).astype(np.uint8)
+    lo, hi = gray_level(gray, clip_percent)
+    return stretch_contrast(img, lo, hi)
+
+
+def find_solid_lines(gray: np.ndarray, thresh: float = 10.0,
+                     min_gap: int = 32) -> tuple[list[int], list[int]]:
+    """Rows/cols whose intensity stddev is below thresh (solid separators),
+    with at least min_gap spacing (reference findSolidLines)."""
+    row_std = gray.std(axis=1)
+    col_std = gray.std(axis=0)
+
+    def pick(stds: np.ndarray) -> list[int]:
+        out = []
+        i = 0
+        n = len(stds)
+        while i < n:
+            if stds[i] < thresh:
+                out.append(i)
+                i += min_gap
+            else:
+                i += 1
+        return out
+
+    return pick(row_std), pick(col_std)
+
+
+def demosaic_rects(gray: np.ndarray, thresh: float = 10.0, min_gap: int = 32,
+                   min_cell: int = 48) -> list[tuple[int, int, int, int]]:
+    """Split a collage into cell rectangles (t, b, l, r), excluding
+    separator lines; cells smaller than min_cell px are dropped."""
+    h, w = gray.shape
+    rows, cols = find_solid_lines(gray, thresh, min_gap)
+    row_std = gray.std(axis=1)
+    col_std = gray.std(axis=0)
+
+    def spans(lines: list[int], stds: np.ndarray, size: int):
+        # merge adjacent separator lines into bands, cells live between bands
+        bands: list[list[int]] = []
+        for x in lines:
+            if bands and x - bands[-1][1] <= 2:
+                bands[-1][1] = x
+            else:
+                bands.append([x, x])
+        edges = [0] + [e for b in bands for e in (b[0], b[1] + 1)] + [size]
+        out = []
+        for i in range(0, len(edges) - 1, 2):
+            a, b = edges[i], edges[i + 1]
+            # the min_gap skip only marks the first line of a wide gap —
+            # trim remaining solid rows/cols off both ends of the span
+            while a < b and stds[a] < thresh:
+                a += 1
+            while b > a and stds[b - 1] < thresh:
+                b -= 1
+            if b - a >= min_cell:
+                out.append((a, b))
+        return out
+
+    vspans = spans(rows, row_std, h)
+    hspans = spans(cols, col_std, w)
+    if len(vspans) * len(hspans) <= 1:
+        return []  # not a grid
+    return [(t, b, l, r) for (t, b) in vspans for (l, r) in hspans]

@@ -229,32 +229,39 @@ class PackedHashStore:
         empty = (np.zeros(0, np.uint32), np.zeros(0, np.int32))
         results: list = [empty] * q_total
 
+        # launch every device call asynchronously and sync once per phase —
+        # per-call host sync costs 100+ ms through a remote TPU tunnel
         hot = np.arange(q_total)
         if len(self._hashes) > 4096 and q_total > 64:
-            counts = np.zeros(q_total, np.int32)
             cb = 4096
+            pending = []
             for s in range(0, q_total, cb):
                 nb = needles[s:s + cb]
                 rows = nb.shape[0]
-                qb = _bucket(rows, 64)
-                if rows < qb:
-                    nb = np.pad(nb, ((0, qb - rows), (0, 0)))
-                c = hamming_count_below(jnp.asarray(nb), pairs_dev, valid_dev,
-                                        jnp.int32(threshold),
-                                        chunk=min(1 << 21, pairs_dev.shape[0]))
+                if rows < cb:  # fixed batch shape: tail pads up, no recompile
+                    nb = np.pad(nb, ((0, cb - rows), (0, 0)))
+                pending.append((s, rows, hamming_count_below(
+                    jnp.asarray(nb), pairs_dev, valid_dev, jnp.int32(threshold),
+                    chunk=min(1 << 21, pairs_dev.shape[0]))))
+            counts = np.zeros(q_total, np.int32)
+            for s, rows, c in pending:
                 counts[s:s + rows] = np.asarray(c)[:rows]
             hot = np.nonzero(counts > 0)[0]
             if len(hot) == 0:
                 return results
 
+        pending = []
         for s in range(0, len(hot), needle_batch):
             sel = hot[s:s + needle_batch]
             nb = needles[sel]
             rows = nb.shape[0]
-            qb = _bucket(rows, 64)
+            qb = needle_batch if len(hot) > needle_batch else _bucket(rows, 64)
             if rows < qb:
                 nb = np.pad(nb, ((0, qb - rows), (0, 0)))
-            d, i = hamming_topk(jnp.asarray(nb), pairs_dev, valid_dev, k=k)
+            pending.append((sel, hamming_topk(jnp.asarray(nb), pairs_dev,
+                                              valid_dev, k=k)))
+        for sel, (d, i) in pending:
+            rows = len(sel)
             d = np.asarray(d)[:rows]
             i = np.asarray(i)[:rows]
             hit = d < threshold

@@ -1,0 +1,71 @@
+"""Grid demosaic + contrast stretch (-select-grid; reference
+demosaicHough/findSolidLines/brightnessAndContrastAuto)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cbird_tpu.cli.main import main
+from cbird_tpu.ops.demosaic import (brightness_contrast_auto, demosaic_rects,
+                                    find_solid_lines, gray_level,
+                                    stretch_contrast)
+
+from fixtures import synth_image
+
+
+def _collage(rng, rows=2, cols=3, cell=(120, 150), gap=12, bg=255):
+    h = rows * cell[0] + (rows + 1) * gap
+    w = cols * cell[1] + (cols + 1) * gap
+    img = np.full((h, w), bg, np.uint8)
+    cells = []
+    for r in range(rows):
+        for c in range(cols):
+            y = gap + r * (cell[0] + gap)
+            x = gap + c * (cell[1] + gap)
+            tile = synth_image(rng, *cell)
+            img[y:y + cell[0], x:x + cell[1]] = tile
+            cells.append(tile)
+    return img, cells
+
+
+def test_gray_level_stretch():
+    img = np.linspace(50, 200, 256 * 4).reshape(32, 32).astype(np.uint8)
+    lo, hi = gray_level(img, 0.0)
+    assert lo == 50 and hi == 200
+    out = stretch_contrast(img, lo, hi)
+    assert out.min() == 0 and out.max() == 255
+
+
+def test_find_solid_lines(rng):
+    img, _ = _collage(rng)
+    rows, cols = find_solid_lines(img, thresh=10.0, min_gap=30)
+    assert rows and cols  # separators found
+
+
+def test_demosaic_rects(rng):
+    img, cells = _collage(rng)
+    rects = demosaic_rects(img)
+    assert len(rects) == 6, rects
+    for t, b, l, r in rects:
+        assert (b - t, r - l) >= (100, 130)  # close to cell size
+
+
+def test_demosaic_not_a_grid(rng):
+    # textured image with no solid separators anywhere
+    img = np.random.default_rng(1).integers(0, 255, (240, 300)).astype(np.uint8)
+    assert demosaic_rects(img) == []
+
+
+def test_select_grid_cli(rng, tmp_path):
+    img, cells = _collage(rng)
+    p = str(tmp_path / "sheet.png")
+    Image.fromarray(img).save(p)
+    assert main(["-select-grid", p, "-count"]) == 0
+    written = sorted(f for f in os.listdir(tmp_path) if "cell" in f)
+    assert len(written) == 6
+    # each written cell is close to the true cell size
+    for f in written:
+        arr = np.asarray(Image.open(tmp_path / f).convert("L"))
+        assert arr.shape == (120, 150)  # spans trimmed to exact cells
