@@ -265,9 +265,17 @@ class PackedHashStore:
             d = np.asarray(d)[:rows]
             i = np.asarray(i)[:rows]
             hit = d < threshold
-            for row in np.nonzero(hit.any(axis=1))[0]:
-                hr = hit[row]
-                results[sel[row]] = (self._ids[i[row][hr]], d[row][hr])
+            # vectorized per-needle assembly: one nonzero + split per batch
+            # (a per-row python loop dominates N² runs otherwise)
+            r_idx, c_idx = np.nonzero(hit)
+            if len(r_idx) == 0:
+                continue
+            ids_flat = self._ids[i[r_idx, c_idx]]
+            d_flat = d[r_idx, c_idx]
+            uniq, starts = np.unique(r_idx, return_index=True)
+            bounds = np.append(starts[1:], len(r_idx))
+            for u, s0, s1 in zip(uniq, starts, bounds):
+                results[sel[u]] = (ids_flat[s0:s1], d_flat[s0:s1])
         return results
 
 
