@@ -78,7 +78,12 @@ class DctHashIndex(Index):
         # cap on raw hits per needle; post-filtering (self, weeds, paths) can
         # consume a few, so fetch a margin above maxMatches
         k = max(params.maxMatches * 4, 64)
-        raw = self._store.search(hashes, params.dctThresh, k=k)
+        # indexed needles always match themselves; when self matches will be
+        # filtered anyway, let the cheap count phase skip single-hit needles
+        min_hits = 2 if (params.filterSelf
+                         and all(n.id > 0 for n in needles)) else 1
+        raw = self._store.search(hashes, params.dctThresh, k=k,
+                                 min_hits=min_hits)
         out: list[list[Match]] = []
         for n, (ids, dists) in zip(needles, raw):
             if not n.dctHash:

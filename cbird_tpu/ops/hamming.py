@@ -207,10 +207,13 @@ class PackedHashStore:
         return self._dev
 
     def search(self, needle_hashes: np.ndarray, threshold: int, k: int = 64,
-               needle_batch: int = 1024):
+               needle_batch: int = 1024, min_hits: int = 1):
         """Batched threshold search.
 
         @param needle_hashes [Q] uint64
+        @param min_hits skip needles with fewer than this many raw hits —
+               pass 2 for self-search (needles that are index members always
+               hit themselves, which would defeat the cheap-phase gate)
         @return list (len Q) of (ids [m] uint32, dists [m] int32) with
                 dist < threshold, ascending by distance, capped at k
 
@@ -233,7 +236,7 @@ class PackedHashStore:
         # per-call host sync costs 100+ ms through a remote TPU tunnel
         hot = np.arange(q_total)
         if len(self._hashes) > 4096 and q_total > 64:
-            cb = 4096
+            cb = 4096 if q_total <= 65536 else 16384
             pending = []
             for s in range(0, q_total, cb):
                 nb = needles[s:s + cb]
@@ -246,7 +249,7 @@ class PackedHashStore:
             counts = np.zeros(q_total, np.int32)
             for s, rows, c in pending:
                 counts[s:s + rows] = np.asarray(c)[:rows]
-            hot = np.nonzero(counts > 0)[0]
+            hot = np.nonzero(counts >= min_hits)[0]
             if len(hot) == 0:
                 return results
 
