@@ -125,16 +125,39 @@ def hamming_count_below(needles: jnp.ndarray, haystack: jnp.ndarray,
     return acc
 
 
-def _bucket(n: int, minimum: int = 1024, chunk: int = 1 << 21) -> int:
+def _bucket(n: int, minimum: int = 1024, chunk: int = 1 << 21,
+            multiple: int = 1) -> int:
     """Device-array bucket size: powers of two for small stores (bounds the
     number of compiled shapes), chunk multiples beyond one scan chunk
-    (power-of-two padding would scan up to 2x dead rows at 10M+ items)."""
+    (power-of-two padding would scan up to 2x dead rows at 10M+ items).
+    ``multiple`` forces divisibility (index-axis shard count)."""
     if n > chunk:
-        return -(-n // chunk) * chunk
-    b = minimum
-    while b < n:
-        b *= 2
+        b = -(-n // chunk) * chunk
+    else:
+        b = minimum
+        while b < n:
+            b *= 2
+    if multiple > 1:
+        b = -(-b // multiple) * multiple
     return b
+
+
+def _search_mesh():
+    """The mesh used for index sharding, or None on a single device.
+    Cached; multi-chip search engages automatically when >1 device exists."""
+    global _MESH
+    if _MESH is _UNSET:
+        import jax as _jax
+        if len(_jax.devices()) > 1:
+            from ..parallel.sharded import make_mesh
+            _MESH = make_mesh()
+        else:
+            _MESH = None
+    return _MESH
+
+
+_UNSET = object()
+_MESH = _UNSET
 
 
 class PackedHashStore:
@@ -196,15 +219,41 @@ class PackedHashStore:
 
     def _device_arrays(self):
         if self._dev is None:
+            mesh = _search_mesh()
+            shards = mesh.devices.shape[1] if mesh is not None else 1
             n = len(self._hashes)
-            b = _bucket(max(n, 1))
+            b = _bucket(max(n, 1), multiple=shards)
             pairs = np.zeros((b, 2), dtype=np.uint32)
             valid = np.zeros(b, dtype=bool)
             if n:
                 pairs[:n] = split_u64(self._hashes)
                 valid[:n] = self._ids != 0
-            self._dev = (jnp.asarray(pairs), jnp.asarray(valid))
+            if mesh is not None:
+                from ..parallel.sharded import shard_index_arrays
+                self._dev = shard_index_arrays(mesh, pairs, valid)
+            else:
+                self._dev = (jnp.asarray(pairs), jnp.asarray(valid))
         return self._dev
+
+    @staticmethod
+    def _count_call(nb, pairs_dev, valid_dev, threshold):
+        mesh = _search_mesh()
+        if mesh is not None:
+            from ..parallel.sharded import sharded_count_below
+            return sharded_count_below(mesh, jnp.asarray(nb), pairs_dev,
+                                       valid_dev, threshold)
+        return hamming_count_below(jnp.asarray(nb), pairs_dev, valid_dev,
+                                   jnp.int32(threshold),
+                                   chunk=min(1 << 21, pairs_dev.shape[0]))
+
+    @staticmethod
+    def _topk_call(nb, pairs_dev, valid_dev, k):
+        mesh = _search_mesh()
+        if mesh is not None:
+            from ..parallel.sharded import sharded_hamming_topk
+            return sharded_hamming_topk(mesh, jnp.asarray(nb), pairs_dev,
+                                        valid_dev, k=k)
+        return hamming_topk(jnp.asarray(nb), pairs_dev, valid_dev, k=k)
 
     def search(self, needle_hashes: np.ndarray, threshold: int, k: int = 64,
                needle_batch: int = 1024, min_hits: int = 1):
@@ -243,9 +292,8 @@ class PackedHashStore:
                 rows = nb.shape[0]
                 if rows < cb:  # fixed batch shape: tail pads up, no recompile
                     nb = np.pad(nb, ((0, cb - rows), (0, 0)))
-                pending.append((s, rows, hamming_count_below(
-                    jnp.asarray(nb), pairs_dev, valid_dev, jnp.int32(threshold),
-                    chunk=min(1 << 21, pairs_dev.shape[0]))))
+                pending.append((s, rows, self._count_call(
+                    nb, pairs_dev, valid_dev, threshold)))
             counts = np.zeros(q_total, np.int32)
             for s, rows, c in pending:
                 counts[s:s + rows] = np.asarray(c)[:rows]
@@ -261,8 +309,7 @@ class PackedHashStore:
             qb = needle_batch if len(hot) > needle_batch else _bucket(rows, 64)
             if rows < qb:
                 nb = np.pad(nb, ((0, qb - rows), (0, 0)))
-            pending.append((sel, hamming_topk(jnp.asarray(nb), pairs_dev,
-                                              valid_dev, k=k)))
+            pending.append((sel, self._topk_call(nb, pairs_dev, valid_dev, k)))
         for sel, (d, i) in pending:
             rows = len(sel)
             d = np.asarray(d)[:rows]

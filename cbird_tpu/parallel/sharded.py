@@ -44,6 +44,10 @@ def _local_topk(needles, haystack, valid, k: int):
     """Single-shard top-k (no jit wrapper — runs inside shard_map)."""
     d = _chunk_dists(needles[:, 0], needles[:, 1], haystack[:, 0], haystack[:, 1])
     d = jnp.where(valid[None, :], d, BAD_DIST)
+    if haystack.shape[0] > 4096:  # TPU-native partial sort on big shards
+        dk, ik = jax.lax.approx_min_k(d.astype(jnp.float32), k,
+                                      recall_target=0.99)
+        return dk.astype(jnp.int32), ik
     neg, idx = jax.lax.top_k(-d, k)
     return -neg, idx
 
@@ -113,3 +117,23 @@ def shard_index_arrays(mesh: Mesh, haystack: np.ndarray, valid: np.ndarray):
     hs = jax.device_put(haystack, NamedSharding(mesh, P(idx_axis, None)))
     vs = jax.device_put(valid, NamedSharding(mesh, P(idx_axis)))
     return hs, vs
+
+
+def sharded_count_below(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
+                        valid: jnp.ndarray, threshold):
+    """Distributed count-below-threshold: each shard reduces its slice, one
+    psum over ICI combines (the cheap phase of two-phase search)."""
+    idx_axis = mesh.axis_names[1]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(idx_axis, None), P(idx_axis), P()),
+        out_specs=P(),
+        check_vma=False)
+    def run(n, h, v, t):
+        d = _chunk_dists(n[:, 0], n[:, 1], h[:, 0], h[:, 1])
+        hit = (d < t[0]) & v[None, :]
+        local = hit.sum(axis=1, dtype=jnp.int32)
+        return jax.lax.psum(local, idx_axis)
+
+    return run(needles, haystack, valid, jnp.asarray([threshold], jnp.int32))
