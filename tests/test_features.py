@@ -138,3 +138,19 @@ def test_feature_sql_roundtrip(feat_engine, trng):
     m1 = [(m.path, m.score) for m in eng.db.similar_to(needle, sp)]
     m2 = [(m.path, m.score) for m in eng2.db.similar_to(needle, sp)]
     assert m1 == m2
+
+
+def test_rotation_robustness(trng):
+    """Rotated BRIEF must survive moderate rotation (orb's 'rotation' claim
+    in the reference feature table)."""
+    from PIL import Image as PILImage
+    img = textured(trng, 320, 400)
+    rot = np.asarray(PILImage.fromarray(img).rotate(
+        15, resample=PILImage.BILINEAR, fillcolor=60))
+    (da, _), (db, _) = extract_features_batch([img, rot], nfeatures=400,
+                                              want_hashes=False)
+    pa = np.unpackbits(da, axis=1).astype(np.int32)
+    pb = np.unpackbits(db, axis=1).astype(np.int32)
+    d = (pb[:, None, :] != pa[None, :, :]).sum(-1)
+    matched = (d.min(axis=1) < 25).sum()
+    assert matched > len(db) * 0.3, f"{matched}/{len(db)} rotated descs matched"
