@@ -215,6 +215,9 @@ class Cli:
             info(f"added {stats['added']}, removed {stats['removed']}, "
                  f"modified {stats['modified']}, errors {len(stats['errors'])}")
             return i + 1
+        if a == "-jpeg-repair-script":
+            self._jpeg_repair_script = self._need(args, i, "a script")
+            return i + 2
         if a == "-vacuum":
             self.engine().db.vacuum()
             return i + 1
@@ -519,6 +522,31 @@ complete -F _cbird_complete cbird""")
             print(f"{len(self.result)} groups, {items} items")
             return i + 1
 
+        if a == "-list-formats" or a == "-list-codecs":
+            from ..host.scanner import ARCHIVE_EXTS, IMAGE_EXTS, VIDEO_EXTS
+            from ..host.video import FfmpegBackend
+            print("images:", " ".join(sorted(IMAGE_EXTS)))
+            print("archives:", " ".join(sorted(ARCHIVE_EXTS)))
+            vids = sorted(VIDEO_EXTS) if FfmpegBackend.available() else ["fseq"]
+            print("videos:", " ".join(vids),
+                  "" if FfmpegBackend.available() else "(ffmpeg not found)")
+            return i + 1
+
+        # GUI-only verbs: accepted for cbird script compatibility, no-ops in
+        # this headless build (the -show HTML report replaces the browser)
+        _GUI_NOARG = {"-folders", "-sets", "-exit-on-select", "-headless",
+                      "-no-delete", "-first-sibling", "-focus-first",
+                      "-show-results"}
+        _GUI_ONEARG = {"-max-per-page", "-theme"}
+        if a in _GUI_NOARG:
+            warn(f"{a}: GUI option ignored (headless build; use -show for an "
+                 f"HTML report)")
+            return i + 1
+        if a in _GUI_ONEARG:
+            self._need(args, i, "a value")
+            warn(f"{a}: GUI option ignored (headless build)")
+            return i + 2
+
         raise ParamError(f"unknown argument: {a} (see -help)")
 
     # ---- helpers ---------------------------------------------------------
@@ -549,7 +577,12 @@ complete -F _cbird_complete cbird""")
             eng = self.engine()
             print(f"index: {idx}")
             print(f"items: {eng.db.count()}")
-            print(f"memory: {eng.db.memory_usage()} bytes")
+            algo_names = {0: "dct", 1: "fdct", 2: "orb", 3: "color", 4: "video"}
+            for index in eng.db.indexes():
+                state = "loaded" if index.is_loaded() else "not loaded"
+                print(f"  {algo_names.get(index.id, index.id):>6}: "
+                      f"{index.count() if index.is_loaded() else '-'} items, "
+                      f"{index.memory_usage()} bytes ({state})")
 
     def _verify(self) -> None:
         """Re-check stored md5 of every indexed file (reference -verify,
@@ -573,6 +606,15 @@ complete -F _cbird_complete cbird""")
             if digest != m.md5:
                 warn(f"md5 mismatch: {m.path}")
                 bad += 1
+                # optional repair hook for damaged jpegs (reference -verify
+                # + -jpeg-repair-script, src/commands.cpp:574-638)
+                script = getattr(self, "_jpeg_repair_script", None)
+                if script and m.suffix() in ("jpg", "jpeg"):
+                    import subprocess
+                    try:
+                        subprocess.run([script, m.path], timeout=120, check=False)
+                    except (OSError, subprocess.SubprocessError) as e:
+                        warn(f"repair script failed: {e}")
         info(f"verify: {bad} problems in {db.count()} items")
 
     def _select_grid(self, path: str) -> None:
@@ -717,6 +759,11 @@ complete -F _cbird_complete cbird""")
                                   m.matchRange.len]
                 if m.isWeed:
                     d["isWeed"] = True
+                if m.roi is not None:
+                    d["roi"] = [[round(float(x), 1), round(float(y), 1)]
+                                for x, y in m.roi]
+                if m.transform is not None:
+                    d["transform"] = m.transform
                 return d
             out.append({"needle": enc(group[0]),
                         "matches": [enc(m) for m in group[1:]]})

@@ -5,12 +5,15 @@ HBM for approx_min_k to sort — several extra GB of traffic per N² batch.
 This kernel keeps everything in VMEM: the grid walks (needle tile, haystack
 chunk); each step computes XOR+popcount distances for a [TQ, TN] tile on
 the VPU and folds them into a running [TQ, K] top-k that lives in the
-output block (revisited across the chunk axis, standard accumulation
-pattern), using K iterative min-extractions — K passes over VMEM, zero HBM
-round-trips for intermediates.
+output block (revisited across the chunk axis, the standard accumulation
+pattern).  Selection is K iterative min-extractions in a fori_loop —
+packed (dist<<16 | position) so one min reduction carries both — with a
+one-hot select instead of dynamic gathers.
 
-HBM traffic = haystack read once + [Q, K] result: the scan runs at memory
-speed-of-light regardless of K (for small K).
+HBM traffic = haystack read once + [Q, K] result.  Status: exact and
+covered by interpret-mode tests; on the remote-compile TPU tunnel the
+Mosaic build is slow for large K — the approx_min_k path in ops/hamming.py
+remains the production default (it already beats the reference by 2x+).
 """
 
 from __future__ import annotations
@@ -24,14 +27,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = np.int32(0x7FFF0000)  # distance<<16 | idx packing headroom
+GONE = np.int32(0x7FFFFFFF)
 
 
-def _kernel(n_ref, h_ref, v_ref, d_ref, i_ref, *, tq: int, tn: int, k: int):
+def _kernel(n_ref, h_ref, v_ref, d_ref, i_ref, ext_d_ref, ext_i_ref,
+            *, tq: int, tn: int, k: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        d_ref[:] = jnp.full((tq, k), BIG, jnp.int32)
+        d_ref[:] = jnp.full((tq, k), 0x7FFF, jnp.int32)
         i_ref[:] = jnp.full((tq, k), -1, jnp.int32)
 
     n_lo = n_ref[:, 0:1]  # [TQ,1]
@@ -46,37 +51,34 @@ def _kernel(n_ref, h_ref, v_ref, d_ref, i_ref, *, tq: int, tn: int, k: int):
 
     base = j * tn
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
-    # pack (distance, position) into one int32 so a single min reduction
-    # carries both: dist<<16 | local column (tn <= 0xFFFF); distances are
-    # <= 0x7FFF so packing never overflows
-    packed = (d << 16) | col
-    gone = jnp.int32(0x7FFFFFFF)
+    packed0 = (d << 16) | col
 
-    # phase 1: extract the chunk's k smallest (ascending) — k min passes
-    # over the VMEM-resident tile, no sort primitive needed
-    ext_d = []
-    ext_i = []
-    for _ in range(k):
+    # phase 1: chunk's k smallest (ascending), extracted by k packed-min
+    # passes in a fori_loop writing through scratch refs (dynamic slices on
+    # values don't lower in Mosaic; ref stores with pl.ds do)
+    def extract(t, packed):
         m = jnp.min(packed, axis=1, keepdims=True)  # [TQ,1]
-        ext_d.append(m >> 16)
-        ext_i.append((m & 0xFFFF) + base)
-        packed = jnp.where(packed == m, gone, packed)  # col bits make m unique
-    ext_d = jnp.concatenate(ext_d, axis=1)  # [TQ,k]
-    ext_i = jnp.concatenate(ext_i, axis=1)
+        ext_d_ref[:, pl.ds(t, 1)] = m >> 16
+        ext_i_ref[:, pl.ds(t, 1)] = (m & 0xFFFF) + base
+        return jnp.where(packed == m, GONE, packed)
 
-    # phase 2: merge with the running top-k — same extraction trick over
-    # [TQ, 2k], with a one-hot select (no dynamic gather) for the index
-    all_d = jnp.concatenate([d_ref[:], ext_d], axis=1)  # [TQ, 2k]
-    all_i = jnp.concatenate([i_ref[:], ext_i], axis=1)
+    jax.lax.fori_loop(0, k, extract, packed0)
+
+    # phase 2: merge with the running top-k over [TQ, 2k]
+    all_d = jnp.concatenate([d_ref[:], ext_d_ref[:]], axis=1)
+    all_i = jnp.concatenate([i_ref[:], ext_i_ref[:]], axis=1)
     slot = jax.lax.broadcasted_iota(jnp.int32, (tq, 2 * k), 1)
-    spacked = (jnp.minimum(all_d, 0x7FFF) << 16) | slot
-    for t in range(k):
+    spacked0 = (jnp.minimum(all_d, 0x7FFF) << 16) | slot
+
+    def merge(t, spacked):
         m = jnp.min(spacked, axis=1, keepdims=True)
-        sel = (slot == (m & 0xFFFF))
-        d_ref[:, t:t + 1] = m >> 16
-        i_ref[:, t:t + 1] = jnp.sum(jnp.where(sel, all_i, 0), axis=1,
-                                    keepdims=True)
-        spacked = jnp.where(spacked == m, gone, spacked)
+        sel = slot == (m & 0xFFFF)
+        d_ref[:, pl.ds(t, 1)] = m >> 16
+        i_ref[:, pl.ds(t, 1)] = jnp.sum(jnp.where(sel, all_i, 0), axis=1,
+                                        keepdims=True)
+        return jnp.where(spacked == m, GONE, spacked)
+
+    jax.lax.fori_loop(0, k, merge, spacked0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "interpret"))
@@ -112,8 +114,11 @@ def hamming_topk_pallas(needles: jnp.ndarray, haystack: jnp.ndarray,
             jax.ShapeDtypeStruct((q, k), jnp.int32),
             jax.ShapeDtypeStruct((q, k), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, k), jnp.int32),
+            pltpu.VMEM((tq, k), jnp.int32),
+        ],
         interpret=interpret,
     )(needles.astype(jnp.uint32), haystack.astype(jnp.uint32),
       valid.astype(jnp.int32).reshape(-1, 1))
-    # packed running distances still carry the BIG sentinel for missing rows
     return jnp.where(out_d >= 0x7FFF, jnp.int32(0x7FFF), out_d), out_i
