@@ -18,8 +18,7 @@ import sys
 
 from .. import __version__
 from ..params import IndexParams, ParamError, SearchParams
-from ..store.media import (Media, group_by, property_func, sort_group,
-                           sort_group_list)
+from ..store.media import Media, group_by, sort_group_list
 from ..utils.log import error, info, set_verbosity, warn
 
 USAGE = """cbird-tpu VERSION — TPU-native content-based image/video duplicate finder

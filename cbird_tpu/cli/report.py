@@ -12,10 +12,9 @@ from __future__ import annotations
 import base64
 import html
 import io
-import os
 
 from ..store.media import Media, MediaGroupList
-from ..utils.log import info, warn
+from ..utils.log import info
 
 _THUMB = 256
 

@@ -18,7 +18,7 @@ from ..index.dct_hash_index import DctHashIndex
 from ..params import IndexParams, SearchParams, TYPE_IMAGE, TYPE_VIDEO
 from ..store.database import Database
 from ..store.media import Media, MediaGroup
-from ..utils.log import info, warn, progress_line
+from ..utils.log import info, warn
 from .scanner import Scanner
 
 

@@ -26,7 +26,7 @@ from PIL import Image
 
 from ..params import SearchParams
 from ..store.media import Media, MediaGroup
-from ..utils.log import debug, warn
+from ..utils.log import warn
 
 INT_MAX = 2**31 - 1
 _RANSAC_ITERS = 200

@@ -19,9 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
-from ..ops.dct_hash import split_u64
 from ..ops.hamming import PackedHashStore
 from ..params import FLAG_IMAGE, SearchParams, TYPE_IMAGE
 from ..store.media import Media

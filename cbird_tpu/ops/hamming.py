@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dct_hash import combine_u32, split_u64
+from .dct_hash import split_u64
 
 # larger than any valid distance (max real distance is 64)
 BAD_DIST = np.int32(0x7FFF)

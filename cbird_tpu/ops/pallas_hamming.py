@@ -24,14 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 BIG = np.int32(0x7FFF0000)  # distance<<16 | idx packing headroom
 GONE = np.int32(0x7FFFFFFF)
 
 
-def _kernel(n_ref, h_ref, v_ref, d_ref, i_ref, ext_d_ref, ext_i_ref,
-            *, tq: int, tn: int, k: int):
+def _kernel(n_ref, h_ref, v_ref, d_ref, i_ref, *, tq: int, tn: int, k: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -52,33 +50,41 @@ def _kernel(n_ref, h_ref, v_ref, d_ref, i_ref, ext_d_ref, ext_i_ref,
     base = j * tn
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
     packed0 = (d << 16) | col
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
     # phase 1: chunk's k smallest (ascending), extracted by k packed-min
-    # passes in a fori_loop writing through scratch refs (dynamic slices on
-    # values don't lower in Mosaic; ref stores with pl.ds do)
-    def extract(t, packed):
+    # passes; results land in the carry via one-hot writes — Mosaic has no
+    # single-lane dynamic store, so column t is selected with lane_k == t
+    def extract(t, carry):
+        packed, ext_d, ext_i = carry
         m = jnp.min(packed, axis=1, keepdims=True)  # [TQ,1]
-        ext_d_ref[:, pl.ds(t, 1)] = m >> 16
-        ext_i_ref[:, pl.ds(t, 1)] = (m & 0xFFFF) + base
-        return jnp.where(packed == m, GONE, packed)
+        oh = lane_k == t
+        ext_d = jnp.where(oh, m >> 16, ext_d)
+        ext_i = jnp.where(oh, (m & 0xFFFF) + base, ext_i)
+        return jnp.where(packed == m, GONE, packed), ext_d, ext_i
 
-    jax.lax.fori_loop(0, k, extract, packed0)
+    zeros = jnp.zeros((tq, k), jnp.int32)
+    _, ext_d, ext_i = jax.lax.fori_loop(0, k, extract, (packed0, zeros, zeros))
 
     # phase 2: merge with the running top-k over [TQ, 2k]
-    all_d = jnp.concatenate([d_ref[:], ext_d_ref[:]], axis=1)
-    all_i = jnp.concatenate([i_ref[:], ext_i_ref[:]], axis=1)
+    all_d = jnp.concatenate([d_ref[:], ext_d], axis=1)
+    all_i = jnp.concatenate([i_ref[:], ext_i], axis=1)
     slot = jax.lax.broadcasted_iota(jnp.int32, (tq, 2 * k), 1)
     spacked0 = (jnp.minimum(all_d, 0x7FFF) << 16) | slot
 
-    def merge(t, spacked):
+    def merge(t, carry):
+        spacked, out_d, out_i = carry
         m = jnp.min(spacked, axis=1, keepdims=True)
         sel = slot == (m & 0xFFFF)
-        d_ref[:, pl.ds(t, 1)] = m >> 16
-        i_ref[:, pl.ds(t, 1)] = jnp.sum(jnp.where(sel, all_i, 0), axis=1,
-                                        keepdims=True)
-        return jnp.where(spacked == m, GONE, spacked)
+        oh = lane_k == t
+        out_d = jnp.where(oh, m >> 16, out_d)
+        idx = jnp.sum(jnp.where(sel, all_i, 0), axis=1, keepdims=True)
+        out_i = jnp.where(oh, idx, out_i)
+        return jnp.where(spacked == m, GONE, spacked), out_d, out_i
 
-    jax.lax.fori_loop(0, k, merge, spacked0)
+    _, out_d, out_i = jax.lax.fori_loop(0, k, merge, (spacked0, zeros, zeros))
+    d_ref[:] = out_d
+    i_ref[:] = out_i
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "interpret"))
@@ -113,10 +119,6 @@ def hamming_topk_pallas(needles: jnp.ndarray, haystack: jnp.ndarray,
         out_shape=[
             jax.ShapeDtypeStruct((q, k), jnp.int32),
             jax.ShapeDtypeStruct((q, k), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tq, k), jnp.int32),
-            pltpu.VMEM((tq, k), jnp.int32),
         ],
         interpret=interpret,
     )(needles.astype(jnp.uint32), haystack.astype(jnp.uint32),

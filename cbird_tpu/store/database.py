@@ -32,10 +32,9 @@ from contextlib import contextmanager
 import numpy as np
 
 from ..index.base import Index, Match
-from ..params import FLAG_VIDEO, SearchParams, TYPE_IMAGE, TYPE_VIDEO
+from ..params import SearchParams, TYPE_VIDEO
 from .media import (MatchRange, Media, MediaGroup, MediaGroupList,
-                    expand_group_list, merge_group_list, sort_group,
-                    sort_group_list)
+                    expand_group_list, merge_group_list, sort_group_list)
 
 INDEX_DIR_NAME = "_index"
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
-from typing import Optional
 
 
 def write_file_atomically(path: str, data: bytes) -> None:
