@@ -127,3 +127,34 @@ def test_store_empty():
     assert len(store) == 0
     res = store.search(np.array([123], dtype=np.uint64), threshold=5)
     assert len(res) == 1 and len(res[0][0]) == 0
+
+
+def test_lanes_topk_matches_numpy(rng):
+    """256-bit multi-lane scan (orb descriptors): parity with numpy."""
+    from cbird_tpu.ops.hamming import hamming_lanes_topk
+    n, q = 300, 5
+    hay = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    needles = np.concatenate([hay[:2], rng.integers(0, 2**32, (q - 2, 8),
+                                                    dtype=np.uint32)])
+    d, i = hamming_lanes_topk(jnp.asarray(needles), jnp.asarray(hay),
+                              jnp.ones(n, bool), k=7)
+    d, i = np.asarray(d), np.asarray(i)
+    pa = np.unpackbits(needles.view(np.uint8).reshape(q, 32), axis=1)
+    pb = np.unpackbits(hay.view(np.uint8).reshape(n, 32), axis=1)
+    ref = (pa[:, None, :] != pb[None, :, :]).sum(-1)
+    for t in range(q):
+        assert list(d[t]) == list(np.sort(ref[t])[:7])
+    assert d[0, 0] == 0 and i[0, 0] == 0
+
+
+def test_lanes_topk_streaming(rng):
+    """Chunked scan path must agree with single-block (approx on CPU falls
+    back to exact, so distances are identical)."""
+    from cbird_tpu.ops.hamming import hamming_lanes_topk
+    n = 1000
+    hay = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    needles = hay[:4]
+    args = (jnp.asarray(needles), jnp.asarray(hay), jnp.ones(n, bool))
+    d1, _ = hamming_lanes_topk(*args, k=5, chunk=4096)
+    d2, _ = hamming_lanes_topk(*args, k=5, chunk=250)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
