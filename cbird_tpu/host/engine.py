@@ -138,6 +138,10 @@ class Engine:
                     warn(f"video pipeline unavailable; skipped "
                          f"{len(scan.new_videos)} videos")
 
+        # refresh flat-file caches for loaded indexes (reference saves
+        # caches after batch updates, src/index.h:217-223)
+        self.db.save_indices()
+
         return {"added": added + video_added, "removed": len(scan.removed_ids),
                 "modified": len(scan.modified), "errors": self.scanner.errors()}
 

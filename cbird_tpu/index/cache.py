@@ -1,0 +1,65 @@
+"""Flat-file index caches — fast loads for the feature indexes.
+
+The reference caches its in-memory indexes as flat files under
+``_index/cache/`` because reconstructing them from SQL is slow
+(dctfeatures.cache, cvfeatures.mat; /root/reference/src/dctfeaturesindex.cpp:34,
+src/cvfeaturesindex.cpp:41,406-419), validated by mtime against the
+database (DBHelper::isCacheFileStale, src/qtutil.h:125-132) and written
+atomically.  Same design here: one .npz per index holding the packed
+arrays; a cache older than its SQLite file is stale and rebuilt, corrupt
+caches are deleted and rebuilt from SQL (src/dctfeaturesindex.cpp:109-126).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..store.ioutil import write_file_atomically
+from ..utils.log import debug, warn
+
+
+def _cache_file(cache_path: str, name: str) -> str:
+    return os.path.join(cache_path, f"{name}.npz")
+
+
+def _db_file_of(conn) -> Optional[str]:
+    try:
+        for _, name, path in conn.execute("pragma database_list"):
+            if name == "main":
+                return path
+    except Exception:  # noqa: BLE001
+        pass
+    return None
+
+
+def load_cache(cache_path: str, name: str, conn) -> Optional[dict]:
+    """@return dict of arrays, or None when missing/stale/corrupt."""
+    f = _cache_file(cache_path, name)
+    if not os.path.exists(f):
+        return None
+    db_file = _db_file_of(conn)
+    if db_file and os.path.exists(db_file) and \
+            os.path.getmtime(f) < os.path.getmtime(db_file):
+        debug(f"cache stale: {f}")
+        return None
+    try:
+        with np.load(f) as z:
+            return {k: z[k] for k in z.files}
+    except Exception:  # zipfile/format errors → rebuild from SQL
+        warn(f"corrupt cache removed: {f}")
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+        return None
+
+
+def save_cache(cache_path: str, name: str, **arrays: np.ndarray) -> None:
+    os.makedirs(cache_path, exist_ok=True)
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    write_file_atomically(_cache_file(cache_path, name), buf.getvalue())

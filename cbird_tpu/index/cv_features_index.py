@@ -167,7 +167,13 @@ class CvFeaturesIndex(Index):
 
     # ---- memory -------------------------------------------------------------
     def load(self, conn, cache_path: str, data_path: str) -> None:
+        from .cache import load_cache, save_cache
         self._store = _PackedDescStore()
+        cached = load_cache(cache_path, "cvfeatures", conn)
+        if cached is not None:
+            self._store.add(cached["descriptors"], cached["ids"])
+            self._loaded = True
+            return
         descs, ids = [], []
         for mid, nrows, blob in conn.execute(
                 "select media_id, rows, data from matrix"):
@@ -179,6 +185,14 @@ class CvFeaturesIndex(Index):
         if descs:
             self._store.add(np.concatenate(descs), np.concatenate(ids))
         self._loaded = True
+        save_cache(cache_path, "cvfeatures",
+                   descriptors=self._store.descriptors, ids=self._store.ids)
+
+    def save(self, conn, cache_path: str) -> None:
+        if self._loaded:
+            from .cache import save_cache
+            save_cache(cache_path, "cvfeatures",
+                       descriptors=self._store.descriptors, ids=self._store.ids)
 
     def add(self, media: list[Media]) -> None:
         for m in media:

@@ -71,6 +71,12 @@ class DctFeaturesIndex(Index):
 
     # ---- memory -------------------------------------------------------------
     def load(self, conn, cache_path: str, data_path: str) -> None:
+        from .cache import load_cache, save_cache
+        cached = load_cache(cache_path, "dctfeatures", conn)
+        if cached is not None:
+            self._store = PackedHashStore(cached["hashes"], cached["ids"])
+            self._loaded = True
+            return
         all_hashes, all_ids = [], []
         for mid, blob in conn.execute("select media_id, hashes from kphash"):
             h = np.frombuffer(blob, dtype=np.uint64)
@@ -81,6 +87,14 @@ class DctFeaturesIndex(Index):
         if all_hashes:
             self._store.add(np.concatenate(all_hashes), np.concatenate(all_ids))
         self._loaded = True
+        save_cache(cache_path, "dctfeatures",
+                   hashes=self._store.hashes, ids=self._store.ids)
+
+    def save(self, conn, cache_path: str) -> None:
+        if self._loaded:
+            from .cache import save_cache
+            save_cache(cache_path, "dctfeatures",
+                       hashes=self._store.hashes, ids=self._store.ids)
 
     def add(self, media: list[Media]) -> None:
         for m in media:

@@ -154,3 +154,34 @@ def test_rotation_robustness(trng):
     d = (pb[:, None, :] != pa[None, :, :]).sum(-1)
     matched = (d.min(axis=1) < 25).sum()
     assert matched > len(db) * 0.3, f"{matched}/{len(db)} rotated descs matched"
+
+
+def test_flat_cache_roundtrip(feat_engine):
+    """Feature indexes persist flat caches under _index/cache and reload
+    from them (reference dctfeatures.cache / cvfeatures.mat)."""
+    import numpy as np
+    from cbird_tpu.host.engine import Engine
+    from cbird_tpu.params import IndexParams, SearchParams
+    eng, root = feat_engine
+    sp = SearchParams()
+    sp.set_param("alg", "orb")
+    needle = eng.db.media_with_path(os.path.join(root, "t2.png"))
+    eng.db.similar_to(needle, sp)  # force load
+    sp2 = SearchParams()
+    sp2.set_param("alg", "fdct")
+    eng.db.similar_to(needle, sp2)
+    eng.db.save_indices()
+    cache_dir = os.path.join(root, "_index", "cache")
+    files = set(os.listdir(cache_dir))
+    assert "cvfeatures.npz" in files and "dctfeatures.npz" in files
+
+    # fresh engine must produce identical results through the cache path
+    params = IndexParams()
+    params.algos = 7
+    eng2 = Engine(root, params)
+    m1 = [(m.path, m.score) for m in eng.db.similar_to(needle, sp)]
+    m2 = [(m.path, m.score) for m in eng2.db.similar_to(needle, sp)]
+    assert m1 == m2
+    # cache contents match the store arrays
+    with np.load(os.path.join(cache_dir, "dctfeatures.npz")) as z:
+        assert len(z["hashes"]) == len(z["ids"]) > 0
