@@ -11,9 +11,12 @@ packed (dist<<16 | position) so one min reduction carries both — with a
 one-hot select instead of dynamic gathers.
 
 HBM traffic = haystack read once + [Q, K] result.  Status: exact and
-covered by interpret-mode tests; on the remote-compile TPU tunnel the
-Mosaic build is slow for large K — the approx_min_k path in ops/hamming.py
-remains the production default (it already beats the reference by 2x+).
+covered by interpret-mode tests.  The Mosaic build on this environment's
+remote-compile toolchain OOMs scoped VMEM (it appears to materialize the
+unrolled min-extraction carries; raising vmem_limit_bytes does not help),
+so the approx_min_k path in ops/hamming.py remains the production default —
+it already beats the reference by 2x+.  Revisit with a newer Mosaic or
+on-host compile.
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 BIG = np.int32(0x7FFF0000)  # distance<<16 | idx packing headroom
 GONE = np.int32(0x7FFFFFFF)
@@ -120,6 +124,8 @@ def hamming_topk_pallas(needles: jnp.ndarray, haystack: jnp.ndarray,
             jax.ShapeDtypeStruct((q, k), jnp.int32),
             jax.ShapeDtypeStruct((q, k), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(needles.astype(jnp.uint32), haystack.astype(jnp.uint32),
       valid.astype(jnp.int32).reshape(-1, 1))
