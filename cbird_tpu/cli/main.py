@@ -388,6 +388,22 @@ class Cli:
                         self.selection.append(m)
             self.result = [self.selection] if self.selection else []
             return i + 2
+        if a == "-select-files":
+            # consume all following non-dash args as file paths
+            files = []
+            j = i + 1
+            while j < len(args) and not args[j].startswith("-"):
+                files.append(os.path.abspath(args[j]))
+                j += 1
+            if not files:
+                raise ParamError("-select-files requires at least one file")
+            db = self.engine().db
+            self.selection = []
+            for f in files:
+                m = db.media_with_path(f)
+                self.selection.append(m if m.is_valid() else Media(f))
+            self.result = [self.selection]
+            return j
         if a == "-select-none":
             self.selection = []
             return i + 1

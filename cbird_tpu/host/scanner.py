@@ -253,15 +253,18 @@ class Scanner:
         batch = self._hasher.batch
         done = 0
         with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            from ..utils.log import profile_stage
             for start in range(0, len(paths), batch):
                 chunk = paths[start:start + batch]
-                decoded = list(pool.map(
-                    lambda pp: self.decode_image(pp, want_color), chunk))
+                with profile_stage(f"decode x{len(chunk)}"):
+                    decoded = list(pool.map(
+                        lambda pp: self.decode_image(pp, want_color), chunk))
                 good = [d for d in decoded if d.error is None and d.gray is not None]
                 hashes = np.zeros(len(good), dtype=np.uint64)
                 if good and want_dct:
-                    hashes = self._hasher.hash_images(
-                        [d.gray for d in good], do_crop=p.autocrop)
+                    with profile_stage(f"dct hash x{len(good)}"):
+                        hashes = self._hasher.hash_images(
+                            [d.gray for d in good], do_crop=p.autocrop)
                 media_batch = []
                 for i, d in enumerate(good):
                     m = Media(d.path, TYPE_IMAGE, d.width, d.height, d.md5,

@@ -500,8 +500,11 @@ class Database:
             from ..host.template_matcher import TemplateMatcher
             tm = TemplateMatcher()
 
+        from ..utils.log import profile_stage
         results: MediaGroupList = []
-        all_matches = index.find_batch(needles, params)
+        with profile_stage(f"find_batch algo={params.algo} "
+                           f"needles={len(needles)}"):
+            all_matches = index.find_batch(needles, params)
         for needle, matches in zip(needles, all_matches):
             matches = self._escalate(index, needle, params, matches)
             group = self._matches_to_group(index, needle, params, matches, id_map)

@@ -120,3 +120,20 @@ def progress_line(msg: str) -> None:
     sys.stderr.write("\r" + msg[:width].ljust(min(len(msg) + 8, width)))
     sys.stderr.flush()
     _progress_active = True
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def profile_stage(name: str):
+    """Per-stage wall-time logging, enabled by CBIRD_PROFILE=1 (the
+    reference's ad-hoc nanoTime() stage percentages, SURVEY.md §5)."""
+    if not os.environ.get("CBIRD_PROFILE"):
+        yield
+        return
+    t0 = time.monotonic()
+    try:
+        yield
+    finally:
+        info(f"[profile] {name}: {(time.monotonic() - t0) * 1000:.1f} ms")
