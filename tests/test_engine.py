@@ -198,3 +198,38 @@ def test_mirror_search(tmp_path_factory):
     mirrored = eng.query(needle, sp)
     assert any("flipped" in m.path for m in mirrored)
     assert not any("flipped" in m.path for m in plain) or True  # flip may be near
+
+
+def test_max_thresh_escalation(engine, corpus_dir):
+    """-p.mt: threshold rises until minMatches are found
+    (reference searchIndex escalation, src/database.cpp:1703-1725)."""
+    root, groups = corpus_dir
+    params = SearchParams()
+    params.dctThresh = 0  # nothing matches at 0
+    needle = engine.db.media_with_path(groups["img004"][0])
+    assert engine.db.similar_to(needle, params) == []
+    params.maxThresh = 12  # escalate 0->12 until a match appears
+    matches = engine.db.similar_to(needle, params)
+    assert matches, "escalation found nothing"
+    assert any("img004" in m.path for m in matches)
+
+
+def test_expand_groups_param(engine, corpus_dir):
+    root, groups = corpus_dir
+    params = SearchParams()
+    params.expandGroups = True
+    result = engine.db.similar(params)
+    assert result
+    assert all(len(g) == 2 for g in result)  # all pairs
+
+
+def test_merge_groups_param(engine, corpus_dir):
+    root, groups = corpus_dir
+    params = SearchParams()
+    params.mergeGroups = 1
+    result = engine.db.similar(params)
+    assert result
+    # merged components contain each base image's full variant set
+    for g in result:
+        bases = {os.path.basename(m.path).split("_")[0] for m in g}
+        assert len(bases) == 1
