@@ -254,11 +254,21 @@ class Scanner:
         done = 0
         with cf.ThreadPoolExecutor(max_workers=workers) as pool:
             from ..utils.log import profile_stage
-            for start in range(0, len(paths), batch):
-                chunk = paths[start:start + batch]
+
+            def submit_chunk(chunk):
+                return [pool.submit(self.decode_image, pp, want_color)
+                        for pp in chunk]
+
+            # double-buffer: batch n+1 decodes on host threads while the
+            # device hashes batch n (the reference pipelines with a queue
+            # depth of writeBatchSize, src/scanner.cpp:611-620)
+            chunks = [paths[s:s + batch] for s in range(0, len(paths), batch)]
+            futs = submit_chunk(chunks[0]) if chunks else []
+            for ci, chunk in enumerate(chunks):
+                next_futs = submit_chunk(chunks[ci + 1])                     if ci + 1 < len(chunks) else []
                 with profile_stage(f"decode x{len(chunk)}"):
-                    decoded = list(pool.map(
-                        lambda pp: self.decode_image(pp, want_color), chunk))
+                    decoded = [f.result() for f in futs]
+                futs = next_futs
                 good = [d for d in decoded if d.error is None and d.gray is not None]
                 hashes = np.zeros(len(good), dtype=np.uint64)
                 if good and want_dct:
