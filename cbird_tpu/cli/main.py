@@ -54,10 +54,13 @@ usage: cbird [args...]   (arguments are executed in order)
     -weeds              select media recorded as weeds
     -with <prop> <expr>    filter selection/results by expression
     -or-with <prop> <expr> add an OR alternative to the last filter
-    -sort <prop>        sort current result groups by property
+    -sort[-rev] <prop>  sort selection items, or result groups by needle
+    -sort-result[-rev] <prop>  sort result groups by first member
+    -sort-similar       order selection by hash similarity (greedy chain)
     -group-by <prop>    group current selection by property expression
     -head <n> / -tail <n>  keep first/last n groups
-    -first / -chop      keep only / drop the first group
+    -first / -chop      keep only the first group / drop the first item
+    -first-sibling      keep one selected item per directory
     -dump               print result groups as text
     -json               print result groups as JSON
     -count              print number of groups/items
@@ -89,8 +92,11 @@ _KNOWN_VERBS = [
     "-similar", "-similar-to", "-similar-in", "-dups", "-dups-in",
     "-select-all", "-select-path", "-select-type", "-select-id", "-select-one",
     "-select-none", "-select-result", "-select-errors", "-weeds",
-    "-with", "-or-with", "-sort", "-group-by", "-head", "-tail", "-first",
-    "-chop", "-dump", "-json", "-count", "-show", "-test-csv",
+    "-with", "-or-with", "-sort", "-sort-rev", "-sort-result",
+    "-sort-result-rev", "-sort-similar", "-group-by", "-head", "-tail",
+    "-first", "-first-sibling", "-chop", "-dump", "-json", "-count", "-show",
+    "-test-csv", "-select-files", "-select-sql", "-select-grid",
+    "-list-formats", "-qualityscore", "-jpeg-repair-script",
     "-rename", "-move", "-nuke", "-nuke-dups-in", "-nuke-weeds",
     "-qualityscore", "-video-thumbnail", "-compare-videos",
     "-list-params", "-list-index-params", "-about", "-args", "-complete",
@@ -414,7 +420,13 @@ class Cli:
             self.result = self.result[:1]
             return i + 1
         if a == "-chop":
-            self.result = self.result[1:]
+            # reference: remove the first item (of the selection); on a bare
+            # result, drop the first group
+            if self.selection:
+                self.selection = self.selection[1:]
+                self.result = [self.selection] if self.selection else []
+            else:
+                self.result = self.result[1:]
             return i + 1
 
         if a == "-complete":
@@ -491,13 +503,39 @@ complete -F _cbird_complete cbird""")
             self.result = [[Media(p)] for p in sorted(errs)]
             return i + 1
 
-        if a == "-sort":
+        if a in ("-sort", "-sort-rev"):
             prop = self._need(args, i, "a property")
-            rev = prop.startswith("^")
-            sort_group_list(self.result, [prop.lstrip("^")])
-            if rev:
+            rev = a.endswith("-rev") or prop.startswith("^")
+            prop = prop.lstrip("^")
+            if self.selection:
+                from ..store.media import sort_group
+                sort_group(self.selection, [prop], reverse=rev)
+                self.result = [self.selection]
+            else:
+                sort_group_list(self.result, [prop])
+                if rev:
+                    self.result.reverse()
+            return i + 2
+        if a in ("-sort-result", "-sort-result-rev"):
+            prop = self._need(args, i, "a property")
+            sort_group_list(self.result, [prop])
+            if a.endswith("-rev"):
                 self.result.reverse()
             return i + 2
+        if a == "-sort-similar":
+            self._sort_similar()
+            return i + 1
+        if a == "-first-sibling":
+            seen_dirs = set()
+            kept = []
+            for m in (self.selection or [x for g in self.result for x in g]):
+                d = m.dir_path()
+                if d not in seen_dirs:
+                    seen_dirs.add(d)
+                    kept.append(m)
+            self.selection = kept
+            self.result = [kept] if kept else []
+            return i + 1
         if a == "-group-by":
             prop = self._need(args, i, "a property expression")
             flat = [m for g in self.result for m in g] or self.selection
@@ -631,6 +669,22 @@ complete -F _cbird_complete cbird""")
                     except (OSError, subprocess.SubprocessError) as e:
                         warn(f"repair script failed: {e}")
         info(f"verify: {bad} problems in {db.count()} items")
+
+    def _sort_similar(self) -> None:
+        """Greedy nearest-neighbor ordering of the selection by dct hash
+        (reference -sort-similar)."""
+        from ..ops.ref_numpy import hamming64
+        items = [m for m in self.selection if m.dctHash]
+        if len(items) < 3:
+            return
+        ordered = [items.pop(0)]
+        while items:
+            cur = int(ordered[-1].dctHash)
+            best = min(range(len(items)),
+                       key=lambda j: hamming64(cur, int(items[j].dctHash)))
+            ordered.append(items.pop(best))
+        self.selection = ordered
+        self.result = [ordered]
 
     def _select_grid(self, path: str) -> None:
         """Detect a collage grid and write each cell as its own image

@@ -180,3 +180,28 @@ def test_select_type_and_id(small_index, capsys):
     assert rc == 0
     data = json.loads(capsys.readouterr().out)
     assert data[0]["needle"]["id"] == 1
+
+
+def test_sort_similar_and_first_sibling(small_index, capsys):
+    rc = main(["-use", small_index, "-select-all", "-sort-similar", "-json"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert len(data[0]["needle"] and data) >= 1
+    rc = main(["-use", small_index, "-select-all", "-first-sibling", "-count"])
+    assert rc == 0
+    assert "1 items" in capsys.readouterr().out  # all files share one dir
+
+
+def test_chop_selection(small_index, capsys):
+    rc = main(["-use", small_index, "-select-all", "-chop", "-count"])
+    assert rc == 0
+    assert "2 items" in capsys.readouterr().out
+
+
+def test_sort_rev(small_index, capsys):
+    rc = main(["-use", small_index, "-select-all", "-sort-rev", "name", "-json"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    names = [m["path"] for m in
+             [data[0]["needle"]] + data[0]["matches"]]
+    assert names == sorted(names, reverse=True)
