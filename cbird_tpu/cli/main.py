@@ -575,6 +575,43 @@ complete -F _cbird_complete cbird""")
             print(f"{len(self.result)} groups, {items} items")
             return i + 1
 
+        if a == "-test-image-loader":
+            f = self._need(args, i, "an image file")
+            import time as _time
+            from ..host.scanner import Scanner
+            sc = Scanner(self.index)
+            t0 = _time.monotonic()
+            d = sc.decode_image(os.path.abspath(f), want_color=True)
+            dt = (_time.monotonic() - t0) * 1000
+            if d.error:
+                raise ParamError(f"decode failed: {d.error}")
+            print(f"{f}: {d.width}x{d.height} -> gray {d.gray.shape[1]}x"
+                  f"{d.gray.shape[0]} md5={d.md5} {dt:.1f} ms")
+            return i + 2
+        if a == "-test-video-decoder":
+            f = self._need(args, i, "a video file")
+            import time as _time
+            from ..host.video import backend_for
+            be = backend_for(os.path.abspath(f))
+            if be is None:
+                raise ParamError(f"no decode backend for {f}")
+            t0 = _time.monotonic()
+            n = 0
+            shape = None
+            for frame in be.frames(os.path.abspath(f)):
+                n += 1
+                shape = frame.shape
+            dt = _time.monotonic() - t0
+            print(f"{f}: {n} frames {shape} in {dt:.2f}s "
+                  f"({n / max(dt, 1e-9):.0f} fps)")
+            return i + 2
+        if a == "-license":
+            lic = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), "LICENSE")
+            print(open(lic).read() if os.path.exists(lic)
+                  else "Apache License 2.0")
+            return i + 1
+
         if a == "-list-formats" or a == "-list-codecs":
             from ..host.scanner import ARCHIVE_EXTS, IMAGE_EXTS, VIDEO_EXTS
             from ..host.video import FfmpegBackend
