@@ -241,13 +241,26 @@ class Cli:
             info(f"{len(self.result)} groups")
             return i + 1
         if a == "-similar-to":
-            target = self._need(args, i, "a file")
-            # prefer the indexed record so the needle row carries id/md5/hash
-            needle = self.engine().db.media_with_path(os.path.abspath(target))
-            if not needle.is_valid():
-                needle = Media(os.path.abspath(target))
-            group = self.engine().query(needle, self.search)
-            self.result = [[needle] + group] if group else []
+            target = os.path.abspath(self._need(args, i, "a file"))
+            if os.path.isdir(target):
+                # directory needle: query every indexed file under it
+                # (reference -similar-to <dir>, src/main.cpp:1104-1263)
+                needles = [m for m in self.engine().db.all_media()
+                           if m.path.startswith(target + os.sep)]
+                self.result = []
+                for needle in needles:
+                    group = self.engine().query(needle, self.search)
+                    if group:
+                        self.result.append([needle] + group)
+                self.result = self.engine().db.filter_matches(self.search,
+                                                              self.result)
+            else:
+                # prefer the indexed record so the needle carries id/md5/hash
+                needle = self.engine().db.media_with_path(target)
+                if not needle.is_valid():
+                    needle = Media(target)
+                group = self.engine().query(needle, self.search)
+                self.result = [[needle] + group] if group else []
             info(f"{sum(len(g) - 1 for g in self.result)} matches")
             return i + 2
         if a == "-dups":

@@ -177,9 +177,17 @@ class Engine:
             if indexed.is_valid():
                 needle = indexed
             else:
-                algos = 1 << params.algo if params.algo != SearchParams.ALGO_VIDEO \
-                    else 1 << SearchParams.ALGO_DCT
-                processed = self.scanner.process_image_file(needle.path, algos)
+                from .scanner import media_type_for
+                if media_type_for(needle.path) == TYPE_VIDEO \
+                        and params.algo == SearchParams.ALGO_VIDEO:
+                    # unindexed video needle: hash its frames on the fly
+                    from .video import process_video
+                    processed = process_video(needle.path, self.params)
+                else:
+                    algos = 1 << params.algo \
+                        if params.algo != SearchParams.ALGO_VIDEO \
+                        else 1 << SearchParams.ALGO_DCT
+                    processed = self.scanner.process_image_file(needle.path, algos)
                 if processed is None:
                     warn(f"cannot process needle: {needle.path}")
                     return []

@@ -133,3 +133,13 @@ def test_args_file(indexed_corpus, tmp_path, capsys):
     rc = main(["-use", root, "-args", str(f)])
     assert rc == 0
     assert "groups" in capsys.readouterr().out
+
+
+def test_similar_to_directory(indexed_corpus, tmp_path, capsys):
+    """-similar-to <dir> queries every indexed file under the directory."""
+    root, groups = indexed_corpus
+    rc = main(["-use", root, "-similar-to", root, "-count"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    n_groups = int(out.split()[0])
+    assert n_groups >= len(groups)  # every base image pairs with its variant

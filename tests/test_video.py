@@ -223,3 +223,15 @@ def test_video_remove(video_engine):
     assert stats["added"] == 1
     matches = eng.db.similar_to(needle, sp)
     assert any("clip" in m.path for m in matches)
+
+
+def test_unindexed_video_needle(video_engine, tmp_path):
+    """-similar-to with a video file that isn't in the index: frames are
+    hashed on the fly (reference Engine::query on-the-fly processing)."""
+    eng, root, full = video_engine
+    outside = str(tmp_path / "excerpt.fseq")
+    FseqBackend.save(outside, full[30:110].copy(), 25.0)
+    sp = _video_params()
+    matches = eng.query(Media(outside, Media.TypeVideo), sp)
+    assert any("full" in m.path for m in matches), \
+        [m.path for m in matches]
