@@ -830,22 +830,16 @@ complete -F _cbird_complete cbird""")
         return None
 
     def _migrate(self) -> None:
-        """Validate and rewrite every .vdx in the current container format
-        (reference -migrate, src/videoindex.cpp:107-190)."""
-        from ..store.vdx import is_valid_vdx, load_vdx, save_vdx
-        vdir = self.engine().db.video_path()
-        ok = bad = 0
-        for name in sorted(os.listdir(vdir)):
-            if not name.endswith(".vdx"):
-                continue
-            p = os.path.join(vdir, name)
-            if not is_valid_vdx(p):
-                warn(f"migrate: invalid {p} (will re-index on next -update)")
-                bad += 1
-                continue
-            save_vdx(p, load_vdx(p))
-            ok += 1
-        info(f"migrate: rewrote {ok} video indexes, {bad} invalid")
+        """Upgrade legacy v1 .vdx files to the v2 container, honoring
+        -i.dryrun (reference -migrate, src/videoindex.cpp:104-221)."""
+        from ..params import TYPE_VIDEO
+        from ..store.vdx import migrate
+        db = self.engine().db
+        ids = [(m.id, m.md5) for m in db.all_media() if m.type == TYPE_VIDEO]
+        updated, removed = migrate(ids, db.video_path(),
+                                   dry_run=self.index.dryRun)
+        info(f"migrate: checked {len(ids)} videos, {updated} updated,"
+             f" {removed} removed")
 
     def _dump_text(self) -> None:
         for n, group in enumerate(self.result):

@@ -127,7 +127,8 @@ class Engine:
             try:
                 from .video import process_video
                 for path in scan.new_videos:
-                    m = process_video(path, self.params)
+                    m = process_video(path, self.params,
+                                      video_dir=self.db.video_path())
                     if m is not None:
                         self.db.add([m])
                         video_added += 1

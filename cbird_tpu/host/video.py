@@ -184,14 +184,19 @@ def _hasher() -> DctHasher:
 
 
 def make_video_index(frame_iter: Iterator[np.ndarray], threshold: int,
-                     batch: int = 256) -> VideoIndexData:
+                     batch: int = 256, start_frame: int = 0) -> VideoIndexData:
     """Hash every frame in device batches (autocrop 20 first, like the
     reference: grayscale → autocrop → dctHash per frame,
-    src/media.cpp:991-996), then window-compress the run."""
+    src/media.cpp:991-996), then window-compress the run.
+
+    @param start_frame number the first yielded frame carries (mid-video
+    resume, reference src/media.cpp:930-937: the first resumed frame is
+    retained unconditionally, which compress_hash_run guarantees for the
+    head of a run)."""
     hasher = _hasher()
     all_hashes: list[np.ndarray] = []
     chunk: list[np.ndarray] = []
-    total = 0
+    total = start_frame
     for frame in frame_iter:
         chunk.append(frame)
         total += 1
@@ -207,12 +212,19 @@ def make_video_index(frame_iter: Iterator[np.ndarray], threshold: int,
         return VideoIndexData()
     hashes = np.concatenate(all_hashes)
     frames, kept = compress_hash_run(hashes, threshold)
-    return VideoIndexData(frames=frames, hashes=kept)
+    return VideoIndexData(frames=frames + np.int32(start_frame), hashes=kept)
 
 
-def process_video(path: str, params: IndexParams) -> Optional[Media]:
+def process_video(path: str, params: IndexParams,
+                  video_dir: Optional[str] = None) -> Optional[Media]:
     """Decode + hash one video into a Media with videoIndex
-    (reference Scanner::processVideo, src/scanner.cpp:1066-1130)."""
+    (reference Scanner::processVideo, src/scanner.cpp:1066-1130).
+
+    When ``video_dir`` holds a ``resume-<md5>.vdx`` (left by -migrate for
+    videos that hit the v1 65k-frame wrap, src/scanner.cpp:1105-1116), the
+    stored run is kept and hashing resumes from its last frame + 1."""
+    import itertools
+
     backend = backend_for(path)
     if backend is None:
         warn(f"no video decode backend for {path} (ffmpeg not found)")
@@ -222,9 +234,41 @@ def process_video(path: str, params: IndexParams) -> Optional[Media]:
     except Exception:
         return None
     md5 = full_md5_file(path)
-    index = make_video_index(backend.frames(path), params.videoThreshold)
+
+    resume_path = None
+    prior = None
+    if video_dir:
+        p = os.path.join(video_dir, f"resume-{md5}.vdx")
+        if os.path.exists(p):
+            from ..store.vdx import load_vdx
+            try:
+                prior = load_vdx(p)
+            except (OSError, ValueError):
+                prior = None
+            if prior is not None and prior.is_empty():
+                prior = None
+            resume_path = p
+
+    if prior is not None:
+        start = int(prior.frames[-1]) + 1
+        debug(f"resuming index from frame: {start}")
+        tail = make_video_index(
+            itertools.islice(backend.frames(path), start, None),
+            params.videoThreshold, start_frame=start)
+        if tail.is_empty():
+            # resume point past the end (like a failed seek,
+            # src/media.cpp:934-937): fall back to a full re-hash
+            index = make_video_index(backend.frames(path), params.videoThreshold)
+        else:
+            index = VideoIndexData(
+                frames=np.concatenate([prior.frames, tail.frames]),
+                hashes=np.concatenate([prior.hashes, tail.hashes]))
+    else:
+        index = make_video_index(backend.frames(path), params.videoThreshold)
     if index.is_empty():
         return None
+    if resume_path and os.path.exists(resume_path):
+        os.remove(resume_path)
     m = Media(path, TYPE_VIDEO, meta.get("width", -1), meta.get("height", -1),
               md5, 0)
     m.videoIndex = index

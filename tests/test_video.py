@@ -67,6 +67,148 @@ def test_vdx_corrupt(tmp_path):
     assert not is_valid_vdx(trunc)
 
 
+def _v1_bytes(frames, hashes):
+    """Hand-build a legacy v1 file (u16 count|u16 frames|u64 hashes,
+    reference src/videoindex.cpp:448-476)."""
+    import struct
+    out = struct.pack("<H", len(frames))
+    out += np.asarray(frames, "<u2").tobytes()
+    out += np.asarray(hashes, "<u8").tobytes()
+    return out
+
+
+def test_vdx_v2_byte_layout(tmp_path):
+    """The written file matches the reference byte layout exactly:
+    text header, u32 packed len, varint offsets, 8-byte alignment pad,
+    raw hashes, 'cbir' trailer (src/videoindex.cpp:271-349)."""
+    import struct
+    idx = VideoIndexData(frames=np.array([0, 1, 300], np.int32),
+                         hashes=np.array([7, 8, 9], np.uint64))
+    p = str(tmp_path / "layout.vdx")
+    save_vdx(p, idx)
+    blob = open(p, "rb").read()
+    header, rest = blob.split(b"\n", 1)
+    f = header.split(b":")
+    assert f[0] == b"cbird video index"
+    assert (int(f[2]), int(f[3]), int(f[4]), int(f[5]), int(f[6])) == (2, 1, 1, 8, 3)
+    (plen,) = struct.unpack_from("<I", rest, 0)
+    # frame 0 → 0x00; offset 1 → 0x01; offset 299=0b100101011 → 0xAB,0x02
+    assert rest[4:4 + plen] == bytes([0x00, 0x01, 0xAB, 0x02]) and plen == 4
+    here = len(header) + 1 + 4 + plen
+    pad = (-here) % 8
+    off = 4 + plen + pad
+    assert rest[4 + plen:off] == b"\x00" * pad
+    assert np.array_equal(np.frombuffer(rest, "<u8", 3, off), [7, 8, 9])
+    assert rest[off + 24:] == b"cbir"
+
+
+def test_vdx_v1_read(tmp_path):
+    """Legacy 16-bit v1 files load (the 'keep your old index' path)."""
+    p = str(tmp_path / "old.vdx")
+    with open(p, "wb") as f:
+        f.write(_v1_bytes([0, 10, 500], [11, 22, 33]))
+    assert is_valid_vdx(p)
+    idx = load_vdx(p)
+    assert list(idx.frames) == [0, 10, 500]
+    assert list(idx.hashes) == [11, 22, 33]
+    # wrong size → invalid (verify_v1 size check)
+    with open(p, "ab") as f:
+        f.write(b"x")
+    assert not is_valid_vdx(p)
+
+
+def test_vdx_v1_repair_quirks(tmp_path):
+    """v1 wrap bug → truncate + 65535 sentinel; non-zero first frame →
+    prepend 0/0 (src/videoindex.cpp:498-535)."""
+    p = str(tmp_path / "wrap.vdx")
+    with open(p, "wb") as f:  # wrapped after 65004: [.., 65004, 4, 5]
+        f.write(_v1_bytes([0, 65004, 4, 5], [1, 2, 3, 4]))
+    idx = load_vdx(p)
+    assert list(idx.frames) == [0, 65004, 65535]
+    assert len(idx.hashes) == 3
+    p2 = str(tmp_path / "nonzero.vdx")
+    with open(p2, "wb") as f:
+        f.write(_v1_bytes([3, 9], [5, 6]))
+    idx = load_vdx(p2)
+    assert list(idx.frames) == [0, 3, 9]
+    assert list(idx.hashes) == [0, 5, 6]
+    p3 = str(tmp_path / "corrupt.vdx")
+    with open(p3, "wb") as f:  # non-sequential but not a wrap → corrupt
+        f.write(_v1_bytes([0, 100, 50], [1, 2, 3]))
+    with pytest.raises(ValueError):
+        load_vdx(p3)
+
+
+def test_vdx_migrate(tmp_path):
+    """-migrate: v1→v2 verified swap, invalid removal, wrap → resume file
+    (src/videoindex.cpp:104-221)."""
+    from cbird_tpu.store.vdx import migrate, vdx_version
+    root = str(tmp_path)
+    with open(os.path.join(root, "1.vdx"), "wb") as f:
+        f.write(_v1_bytes([0, 10, 20], [5, 6, 7]))
+    with open(os.path.join(root, "2.vdx"), "wb") as f:
+        f.write(_v1_bytes([0, 65100, 7], [1, 2, 3]))  # wrapped → resume
+    with open(os.path.join(root, "3.vdx"), "wb") as f:
+        f.write(b"\xff\xff garbage of the wrong size")  # invalid v1
+    ids = [(1, "md5one"), (2, "md5two"), (3, "md5three"), (4, "md5gone")]
+    # dry run changes nothing
+    migrate(ids, root, dry_run=True)
+    assert vdx_version(open(os.path.join(root, "1.vdx"), "rb").read()) == 1
+    updated, removed = migrate(ids, root)
+    assert (updated, removed) == (1, 2)
+    blob = open(os.path.join(root, "1.vdx"), "rb").read()
+    assert vdx_version(blob) == 2
+    idx = load_vdx(os.path.join(root, "1.vdx"))
+    assert list(idx.frames) == [0, 10, 20] and list(idx.hashes) == [5, 6, 7]
+    assert not os.path.exists(os.path.join(root, "2.vdx"))
+    resume = os.path.join(root, "resume-md5two.vdx")
+    assert os.path.exists(resume)
+    assert list(load_vdx(resume).frames) == [0, 65100, 65535]
+    assert not os.path.exists(os.path.join(root, "3.vdx"))
+    # second run is a no-op
+    assert migrate(ids, root) == (0, 0)
+
+
+def test_process_video_resume(tmp_path):
+    """A resume-<md5>.vdx left by -migrate keeps the stored run and
+    resumes hashing at its last frame + 1 (src/scanner.cpp:1105-1116,
+    src/media.cpp:930-937)."""
+    from cbird_tpu.host.video import process_video
+    from cbird_tpu.store.ioutil import full_md5_file
+    frames = make_frames(40, seed=5)
+    vid = str(tmp_path / "clip.fseq")
+    FseqBackend.save(vid, frames, 10.0)
+    params = IndexParams()
+    full = process_video(vid, params)  # ground truth, no resume
+    md5 = full_md5_file(vid)
+    vdir = str(tmp_path / "video")
+    os.makedirs(vdir)
+    # pretend the first 25 frames were already indexed
+    prior_n = int(np.searchsorted(full.videoIndex.frames, 25))
+    prior = VideoIndexData(frames=full.videoIndex.frames[:prior_n].copy(),
+                           hashes=full.videoIndex.hashes[:prior_n].copy())
+    resume = os.path.join(vdir, f"resume-{md5}.vdx")
+    save_vdx(resume, prior)
+    m = process_video(vid, params, video_dir=vdir)
+    assert m is not None
+    assert not os.path.exists(resume)  # consumed
+    got = m.videoIndex
+    assert np.all(np.diff(got.frames) > 0)
+    assert got.frames[0] == 0 and got.frames[-1] == 39
+    # prior run is preserved verbatim; tail covers the remaining frames
+    assert np.array_equal(got.frames[:prior_n], prior.frames)
+    assert np.array_equal(got.hashes[:prior_n], prior.hashes)
+    start = int(prior.frames[-1]) + 1
+    assert got.frames[prior_n] == start  # first resumed frame always kept
+    # resume point past the end → full re-hash fallback
+    past = VideoIndexData(frames=np.array([0, 99], np.int32),
+                          hashes=np.array([1, 2], np.uint64))
+    save_vdx(resume, past)
+    m2 = process_video(vid, params, video_dir=vdir)
+    assert np.array_equal(m2.videoIndex.frames, full.videoIndex.frames)
+    assert np.array_equal(m2.videoIndex.hashes, full.videoIndex.hashes)
+
+
 # ---------------------------------------------------------------------------
 # window compression
 # ---------------------------------------------------------------------------
