@@ -57,6 +57,7 @@ usage: cbird [args...]   (arguments are executed in order)
     -sort[-rev] <prop>  sort selection items, or result groups by needle
     -sort-result[-rev] <prop>  sort result groups by first member
     -sort-similar       order selection by hash similarity (greedy chain)
+    -merge <sel> <sel>  merge two selections by similarity (first is sorted)
     -group-by <prop>    group current selection by property expression
     -head <n> / -tail <n>  keep first/last n groups
     -first / -chop      keep only the first group / drop the first item
@@ -93,7 +94,7 @@ _KNOWN_VERBS = [
     "-select-all", "-select-path", "-select-type", "-select-id", "-select-one",
     "-select-none", "-select-result", "-select-errors", "-weeds",
     "-with", "-or-with", "-sort", "-sort-rev", "-sort-result",
-    "-sort-result-rev", "-sort-similar", "-group-by", "-head", "-tail",
+    "-sort-result-rev", "-sort-similar", "-merge", "-group-by", "-head", "-tail",
     "-first", "-first-sibling", "-chop", "-dump", "-json", "-count", "-show",
     "-test-csv", "-select-files", "-select-sql", "-select-grid",
     "-list-formats", "-qualityscore", "-jpeg-repair-script",
@@ -538,6 +539,12 @@ complete -F _cbird_complete cbird""")
         if a == "-sort-similar":
             self._sort_similar()
             return i + 1
+        if a == "-merge":
+            sel_a = self._need(args, i, "two selectors")
+            if i + 2 >= len(args):
+                raise ParamError("-merge requires two selectors")
+            self._merge(sel_a, args[i + 2])
+            return i + 3
         if a == "-first-sibling":
             seen_dirs = set()
             kept = []
@@ -735,6 +742,49 @@ complete -F _cbird_complete cbird""")
             ordered.append(items.pop(best))
         self.selection = ordered
         self.result = [ordered]
+
+    def _merge(self, sel_a: str, sel_b: str) -> None:
+        """Merge selection B into (sorted) selection A by similarity
+        (reference -merge, src/main.cpp:1582-1651): each B item is searched
+        against the merged list with per-algo escalation (accept when the
+        best score beats the algo's threshold: dct 12, fdct/orb 1000, color
+        always), then inserted next to its closest match; before/after is
+        decided by dct distance to the neighbors."""
+        from ..ops.ref_numpy import hamming64
+        merged = self._select(sel_a)
+        set_b = self._select(sel_b)
+        thresholds = (12, 1000, 1000, 1 << 31)
+        eng = self.engine()
+        unmatched = 0
+        for b in set_b:
+            best = None
+            for algo in range(4):
+                sp = self.search.copy()
+                sp.algo = algo
+                sp.maxMatches = 2
+                sp.set = merged + [b]
+                sp.inSet = True
+                matches = [m for m in eng.query(b, sp)
+                           if any(x.path == m.path for x in merged)]
+                if matches and matches[0].score < thresholds[algo]:
+                    best = matches[0]
+                    break
+            if best is None:
+                warn(f"merge: no match: {b.path}")
+                unmatched += 1
+                continue
+            pos = next(j for j, x in enumerate(merged) if x.path == best.path)
+            if 0 < pos < len(merged) - 1:
+                nb = int(b.dctHash or 0)
+                before = hamming64(nb, int(merged[pos - 1].dctHash or 0))
+                after = hamming64(nb, int(merged[pos + 1].dctHash or 0))
+                if after < before:
+                    pos += 1
+            merged.insert(pos, b)
+        if unmatched:
+            warn(f"merge: {unmatched} items could not be placed")
+        self.selection = merged
+        self.result = [merged] if merged else []
 
     def _select_grid(self, path: str) -> None:
         """Detect a collage grid and write each cell as its own image

@@ -205,3 +205,29 @@ def test_sort_rev(small_index, capsys):
     names = [m["path"] for m in
              [data[0]["needle"]] + data[0]["matches"]]
     assert names == sorted(names, reverse=True)
+
+
+def test_merge_selections(tmp_path, capsys):
+    """-merge places each B item adjacent to its most-similar A item
+    (reference -merge, src/main.cpp:1582-1651)."""
+    root = str(tmp_path)
+    rng = np.random.default_rng(77)
+    os.makedirs(os.path.join(root, "a"))
+    os.makedirs(os.path.join(root, "b"))
+    for i in range(3):
+        img = synth_image(rng, 200, 240)
+        Image.fromarray(img).save(os.path.join(root, "a", f"base{i}.png"))
+        # rescaled duplicate goes to set B
+        Image.fromarray(img).resize((180, 150), Image.BOX).save(
+            os.path.join(root, "b", f"dup{i}.png"))
+    assert main(["-use", root, "-i.algos", "dct", "-i.fsize", "16",
+                 "-create", "-update"]) == 0
+    rc = main(["-use", root, "-merge", "a", "b", "-json"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    group = [data[0]["needle"]] + data[0]["matches"]
+    names = [os.path.basename(m["path"]) for m in group]
+    assert len(names) == 6
+    # every dup must sit directly next to its base
+    for i in range(3):
+        assert abs(names.index(f"dup{i}.png") - names.index(f"base{i}.png")) == 1, names
