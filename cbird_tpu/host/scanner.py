@@ -68,6 +68,13 @@ class ScanResult:
     ignored: int = 0
 
 
+def _fsize(path: str) -> int:
+    try:
+        return os.stat(path).st_size
+    except OSError:
+        return 0
+
+
 def media_type_for(path: str) -> int:
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
     if ext in IMAGE_EXTS:
@@ -169,7 +176,37 @@ class Scanner:
 
         # anything still in expected is gone from disk
         result.removed_ids = [mid for mid, _, _ in expected.values()]
+        self._order_video_queue(result.new_videos)
         return result
+
+    def _order_video_queue(self, queue: list[str]) -> None:
+        """Longest-job-first video ordering (reference src/scanner.cpp:159-206):
+        with -i.ljf (default) each video is probed and jobs are sorted by
+        estimated decode cost (total pixels) descending; otherwise
+        likely-multithreaded container extensions go first, then file size
+        descending."""
+        if len(queue) < 2:
+            return
+        if self.params.estimateCost:
+            from .video import backend_for
+
+            def cost(path: str) -> float:
+                be = backend_for(path)
+                if be is None:
+                    return 0.0
+                try:
+                    meta = be.probe(path)
+                except Exception:
+                    return 0.0
+                return (meta.get("duration", 0.0) * meta.get("fps", 0.0)
+                        * meta.get("width", 0) * meta.get("height", 0))
+
+            costs = {p: cost(p) for p in queue}
+            queue.sort(key=lambda p: (costs[p], _fsize(p)), reverse=True)
+        else:
+            mt_formats = {"mp4", "mkv", "mpg", "webm"}
+            queue.sort(key=lambda p: (p.rsplit(".", 1)[-1].lower() in mt_formats,
+                                      _fsize(p)), reverse=True)
 
     def _scan_archive(self, path: str, expected, result: ScanResult) -> None:
         """Enumerate zip members as virtual paths (reference readArchive,

@@ -235,6 +235,12 @@ _PROPS: dict[str, Callable[[Media], Any]] = {
 }
 
 
+def _todate(v):
+    """EXIF "YYYY:MM:DD HH:MM:SS" → ISO (reference unaryFunc todate)."""
+    from .metadata import _normalize_date
+    return _normalize_date("Date", str(v))
+
+
 def _unary_funcs() -> dict[str, Callable]:
     def mid(v, start, length=None):
         s = str(v)
@@ -253,6 +259,7 @@ def _unary_funcs() -> dict[str, Callable]:
         "len": lambda v: len(str(v)),
         "abs": lambda v: abs(float(v)),
         "int": lambda v: int(float(v)),
+        "todate": _todate,
         "year": lambda v: str(v)[:4],
         "month": lambda v: str(v)[5:7],
         "day": lambda v: str(v)[8:10],
@@ -283,7 +290,25 @@ def property_func(expr: str) -> Callable[[Media], Any]:
     parts = expr.split("#")
     prop = parts[0]
 
-    if ":" in prop:
+    if prop in ("exif", "iptc", "xmp", "text", "ffmeta"):
+        # reference grammar: exif#<tag1[,tagN]>[#func...] — the first chain
+        # element is a comma-separated Exiv2-style key list, first non-empty
+        # value wins; "nocache" prefix skips the value cache
+        # (media.cpp:761-803)
+        if len(parts) < 2:
+            raise ValueError(f"{prop} requires tag name(s), e.g. "
+                             f"{prop}#Exif.Photo.DateTimeOriginal")
+        keys = parts[1].split(",")
+        use_cache = True
+        if keys and keys[0] == "nocache":
+            keys = keys[1:]
+            use_cache = False
+        parts = [prop] + parts[2:]  # remaining elements are unary funcs
+
+        def getter(m: Media, _f=prop, _keys=tuple(keys), _uc=use_cache) -> Any:
+            from .metadata import lookup
+            return lookup(m.path, _f, list(_keys), use_cache=_uc)
+    elif ":" in prop:
         ns, key = prop.split(":", 1)
         if ns in ("exif", "iptc", "xmp", "ffmeta"):
             def getter(m: Media, _prop=prop) -> Any:

@@ -377,3 +377,24 @@ def test_unindexed_video_needle(video_engine, tmp_path):
     matches = eng.query(Media(outside, Media.TypeVideo), sp)
     assert any("full" in m.path for m in matches), \
         [m.path for m in matches]
+
+
+def test_video_queue_ljf(tmp_path):
+    """-i.ljf orders the video queue by estimated decode cost descending
+    (reference src/scanner.cpp:159-206)."""
+    from cbird_tpu.host.scanner import Scanner
+    root = str(tmp_path)
+    for name, n in (("short", 5), ("long", 50), ("mid", 20)):
+        FseqBackend.save(os.path.join(root, f"{name}.fseq"),
+                         make_frames(n, h=64, w=64, seed=1), 10.0)
+    params = IndexParams()
+    params.minFileSize = 16
+    sc = Scanner(params)
+    scan = sc.scan_directory(root)
+    names = [os.path.basename(p).split(".")[0] for p in scan.new_videos]
+    assert names == ["long", "mid", "short"]
+    # non-ljf path: file-size descending
+    params.estimateCost = False
+    scan = sc.scan_directory(root)
+    sizes = [os.path.getsize(p) for p in scan.new_videos]
+    assert sizes == sorted(sizes, reverse=True)
