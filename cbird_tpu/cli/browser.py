@@ -1,0 +1,308 @@
+"""Interactive result browser — a local web UI over the current result.
+
+Headless-web rebuild of the reference Qt MediaBrowser/MediaGroupListWidget
+(/root/reference/src/gui/mediabrowser.{h,cpp}, mediagrouplistwidget.cpp):
+paged match groups with thumbnails and per-item dedup actions.  The actions
+write back to the Database exactly like the GUI slots do:
+
+- **delete**: move file to trash + remove from the index
+  (MediaGroupListWidget delete action → Database::remove)
+- **weed**: record needle/item md5 pair as a weed (Database::addWeed)
+- **negative**: record a false-match pair (Database::addNegativeMatch)
+- **unweed**: remove a weed record
+
+Serves on 127.0.0.1 only; `-browse` blocks until Quit is pressed or the
+process is interrupted.  GET endpoints: `/` (app), `/api/groups?page=N`,
+`/thumb/<media id>`; POST: `/api/delete`, `/api/weed`, `/api/negative`,
+`/api/unweed`, `/api/quit`.
+"""
+
+from __future__ import annotations
+
+import base64
+import html
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ..store.media import Media, MediaGroupList
+from ..utils.log import info, warn
+
+_PAGE_CSS = """
+body { background:#1e1e24; color:#ddd; font-family:sans-serif; margin:1em; }
+.group { border:1px solid #444; border-radius:8px; margin:1em 0; padding:.6em; }
+.items { display:flex; flex-wrap:wrap; gap:.8em; }
+.item { background:#2a2a33; border-radius:6px; padding:.5em; max-width:280px; }
+.item.needle { outline:2px solid #4a9; }
+.item.weed { outline:2px solid #a44; }
+.item.removed { opacity:.35; }
+.item img { max-width:256px; max-height:256px; display:block; }
+.meta { font-size:.75em; color:#aaa; word-break:break-all; }
+.score { color:#4a9; font-weight:bold; }
+button { background:#39394a; color:#ddd; border:1px solid #555;
+         border-radius:4px; margin:2px; cursor:pointer; }
+button:hover { background:#4a4a61; }
+nav button { font-size:1em; padding:.3em .8em; }
+h1 { font-size:1.2em; }
+"""
+
+_PAGE_JS = """
+let page = 0;
+async function api(path, body) {
+  const r = await fetch(path, body ? {method:'POST', body: JSON.stringify(body)} : {});
+  return r.json();
+}
+async function act(action, id, other) {
+  const r = await api('/api/' + action, {id: id, other: other});
+  if (r.error) alert(r.error); else load(page);
+}
+async function quit() { await api('/api/quit', {}); document.body.innerHTML = '<h1>bye</h1>'; }
+async function load(p) {
+  const d = await api('/api/groups?page=' + p);
+  page = d.page;
+  document.getElementById('title').textContent =
+    d.title + ' — ' + d.total_groups + ' groups, page ' + (d.page+1) + '/' + d.pages;
+  const c = document.getElementById('groups');
+  c.innerHTML = '';
+  for (const g of d.groups) {
+    const gd = document.createElement('div');
+    gd.className = 'group';
+    gd.innerHTML = '<div>group ' + g.index + ' (' + g.items.length + ' items)</div>';
+    const row = document.createElement('div');
+    row.className = 'items';
+    for (const [j, m] of g.items.entries()) {
+      const it = document.createElement('div');
+      it.className = 'item' + (j==0?' needle':'') + (m.weed?' weed':'') +
+                     (m.removed?' removed':'');
+      const needleId = g.items[0].id;
+      it.innerHTML =
+        '<img loading="lazy" src="/thumb/' + m.id + '">' +
+        '<div class="meta">' + m.name + '<br>' + m.dims +
+        (m.score>=0 ? ' <span class="score">score ' + m.score + '</span>' : '') +
+        (m.range ? ' ' + m.range : '') + (m.weed ? ' WEED' : '') + '</div>' +
+        (m.removed ? '<i>removed</i>' :
+         '<button onclick="act(\\'delete\\',' + m.id + ')">delete</button>' +
+         (j>0 ? '<button onclick="act(\\'weed\\',' + m.id + ',' + needleId + ')">weed</button>' +
+                '<button onclick="act(\\'negative\\',' + m.id + ',' + needleId + ')">not a match</button>'
+              : '') +
+         (m.weed ? '<button onclick="act(\\'unweed\\',' + m.id + ')">unweed</button>' : ''));
+      row.appendChild(it);
+    }
+    gd.appendChild(row);
+    c.appendChild(gd);
+  }
+  document.getElementById('prev').disabled = page <= 0;
+  document.getElementById('next').disabled = page >= d.pages - 1;
+}
+window.onload = () => load(0);
+"""
+
+
+def _page_html(title: str) -> str:
+    t = html.escape(title)
+    return f"""<!doctype html><html><head><meta charset='utf-8'>
+<title>{t}</title><style>{_PAGE_CSS}</style></head><body>
+<h1 id='title'>{t}</h1>
+<nav>
+<button id='prev' onclick='load(page-1)'>&laquo; prev</button>
+<button id='next' onclick='load(page+1)'>next &raquo;</button>
+<button onclick='quit()' style='float:right'>Quit</button>
+</nav>
+<div id='groups'></div>
+<script>{_PAGE_JS}</script></body></html>"""
+
+
+class BrowserState:
+    """Mutable view of the result list shared between requests."""
+
+    def __init__(self, db, groups: MediaGroupList, title: str,
+                 max_per_page: int = 12):
+        self.db = db
+        self.groups = [list(g) for g in groups if g]
+        self.title = title
+        self.max_per_page = max(1, max_per_page)
+        self.removed: set[int] = set()
+        self.lock = threading.Lock()
+        self._media: dict[int, Media] = {}
+        for g in self.groups:
+            for m in g:
+                if m.id:
+                    self._media[m.id] = m
+
+    def media(self, mid: int) -> Media | None:
+        return self._media.get(mid)
+
+    def pages(self) -> int:
+        return max(1, (len(self.groups) + self.max_per_page - 1)
+                   // self.max_per_page)
+
+    def page_payload(self, page: int) -> dict:
+        page = max(0, min(page, self.pages() - 1))
+        lo = page * self.max_per_page
+        out = []
+        for n, g in enumerate(self.groups[lo:lo + self.max_per_page], start=lo):
+            items = []
+            for m in g:
+                rng = ""
+                if m.matchRange.is_valid():
+                    rng = (f"frames {m.matchRange.srcIn}→"
+                           f"{m.matchRange.dstIn}+{m.matchRange.len}")
+                items.append({
+                    "id": m.id,
+                    "name": m.name(),
+                    "path": m.path,
+                    "dims": f"{m.width}×{m.height}" if m.width > 0 else "",
+                    "score": m.score,
+                    "range": rng,
+                    "weed": bool(self.db.is_weed(m)),
+                    "removed": m.id in self.removed,
+                })
+            out.append({"index": n, "items": items})
+        return {"title": self.title, "page": page, "pages": self.pages(),
+                "total_groups": len(self.groups), "groups": out}
+
+    # ---- actions (all mirror GUI slots writing to the Database) ----------
+    def delete(self, mid: int) -> str | None:
+        from .commands import trash_file
+        m = self.media(mid)
+        if m is None:
+            return "unknown media id"
+        with self.lock:
+            if mid in self.removed:
+                return "already removed"
+            if not trash_file(m.path):
+                return f"could not trash {m.path}"
+            self.db.remove([mid])
+            self.removed.add(mid)
+        return None
+
+    def weed(self, mid: int, original_id: int) -> str | None:
+        m, orig = self.media(mid), self.media(original_id)
+        if m is None or orig is None:
+            return "unknown media id"
+        if not self.db.add_weed(m, orig):
+            return "weed pair rejected (same or empty md5)"
+        return None
+
+    def unweed(self, mid: int) -> str | None:
+        m = self.media(mid)
+        if m is None:
+            return "unknown media id"
+        self.db.unweed(m)
+        return None
+
+    def negative(self, mid: int, other_id: int) -> str | None:
+        a, b = self.media(mid), self.media(other_id)
+        if a is None or b is None:
+            return "unknown media id"
+        if not self.db.add_negative_match(a, b):
+            return "pair rejected (same or empty md5)"
+        return None
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: BrowserState = None  # set by serve_browser
+    thumbs: dict[int, bytes] = {}
+
+    def log_message(self, fmt, *args):  # quiet; cbird logging instead
+        pass
+
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, obj, code: int = 200) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        url = urlparse(self.path)
+        if url.path == "/":
+            self._send(200, _page_html(self.state.title).encode(), "text/html")
+        elif url.path == "/api/groups":
+            q = parse_qs(url.query)
+            page = int(q.get("page", ["0"])[0])
+            self._json(self.state.page_payload(page))
+        elif url.path.startswith("/thumb/"):
+            try:
+                mid = int(url.path.rsplit("/", 1)[1])
+            except ValueError:
+                return self._send(404, b"bad id", "text/plain")
+            data = self._thumb(mid)
+            if data is None:
+                return self._send(404, b"no thumb", "text/plain")
+            self._send(200, data, "image/jpeg")
+        else:
+            self._send(404, b"not found", "text/plain")
+
+    def _thumb(self, mid: int) -> bytes | None:
+        if mid in self.thumbs:
+            return self.thumbs[mid]
+        m = self.state.media(mid)
+        if m is None:
+            return None
+        from .report import _thumb_b64
+        b64 = _thumb_b64(m)
+        data = base64.b64decode(b64) if b64 else None
+        if data:
+            self.thumbs[mid] = data
+        return data
+
+    def do_POST(self):  # noqa: N802
+        url = urlparse(self.path)
+        length = int(self.headers.get("Content-Length") or 0)
+        try:
+            body = json.loads(self.rfile.read(length) or b"{}")
+        except json.JSONDecodeError:
+            return self._json({"error": "bad json"}, 400)
+        mid = int(body.get("id") or 0)
+        other = int(body.get("other") or 0)
+        s = self.state
+        if url.path == "/api/delete":
+            err = s.delete(mid)
+        elif url.path == "/api/weed":
+            err = s.weed(mid, other)
+        elif url.path == "/api/unweed":
+            err = s.unweed(mid)
+        elif url.path == "/api/negative":
+            err = s.negative(mid, other)
+        elif url.path == "/api/quit":
+            self._json({"ok": True})
+            threading.Thread(target=self.server.shutdown, daemon=True).start()
+            return
+        else:
+            return self._json({"error": "unknown action"}, 404)
+        self._json({"error": err} if err else {"ok": True},
+                   400 if err else 200)
+
+
+def serve_browser(db, groups: MediaGroupList, title: str = "cbird results",
+                  host: str = "127.0.0.1", port: int = 0,
+                  max_per_page: int = 12, block: bool = True):
+    """Start the browser server.  With block=True (CLI -browse) runs until
+    Quit; otherwise returns (server, thread, url) for embedding/tests."""
+    if not groups:
+        warn("browse: empty result, nothing to show")
+        return None
+    handler = type("BoundHandler", (_Handler,), {
+        "state": BrowserState(db, groups, title, max_per_page),
+        "thumbs": {},
+    })
+    server = ThreadingHTTPServer((host, port), handler)
+    url = f"http://{host}:{server.server_address[1]}/"
+    info(f"browse: serving {sum(len(g) for g in groups)} items in "
+         f"{len(groups)} groups at {url} (ctrl-c or Quit button to stop)")
+    if block:
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+        return None
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread, url

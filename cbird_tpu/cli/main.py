@@ -62,6 +62,9 @@ usage: cbird [args...]   (arguments are executed in order)
     -head <n> / -tail <n>  keep first/last n groups
     -first / -chop      keep only the first group / drop the first item
     -first-sibling      keep one selected item per directory
+    -browse             interactive web browser for results (delete/weed
+                        actions write back to the index; Quit to exit)
+    -max-per-page <n>   groups per page in -browse (default 12)
     -dump               print result groups as text
     -json               print result groups as JSON
     -count              print number of groups/items
@@ -96,6 +99,7 @@ _KNOWN_VERBS = [
     "-with", "-or-with", "-sort", "-sort-rev", "-sort-result",
     "-sort-result-rev", "-sort-similar", "-merge", "-group-by", "-head", "-tail",
     "-first", "-first-sibling", "-chop", "-dump", "-json", "-count", "-show",
+    "-browse", "-max-per-page",
     "-test-csv", "-select-files", "-select-sql", "-select-grid",
     "-list-formats", "-qualityscore", "-jpeg-repair-script",
     "-rename", "-move", "-nuke", "-nuke-dups-in", "-nuke-weeds",
@@ -113,6 +117,7 @@ class Cli:
         self.selection: list[Media] = []
         self.result: list[list[Media]] = []
         self._engine = None
+        self._max_per_page = 12  # reference default (src/main.cpp:1671-1719)
 
     # lazy engine (reference lazy global Engine&, src/main.cpp:540-559)
     def engine(self):
@@ -576,6 +581,13 @@ complete -F _cbird_complete cbird""")
                                  os.path.join(self.index_dir, "cbird-results.html"))
             write_report(self.result, out, title=f"cbird {self.index_dir}")
             return i + 1
+        if a == "-browse":
+            from .browser import serve_browser
+            serve_browser(self.engine().db, self.result,
+                          title=f"cbird {self.index_dir}",
+                          port=int(os.environ.get("CBIRD_BROWSER_PORT", "0")),
+                          max_per_page=self._max_per_page)
+            return i + 1
         if a == "-test-csv":
             from .testcsv import run_test_csv
             f = self._need(args, i, "a csv file")
@@ -647,7 +659,10 @@ complete -F _cbird_complete cbird""")
         _GUI_NOARG = {"-folders", "-sets", "-exit-on-select", "-headless",
                       "-no-delete", "-first-sibling", "-focus-first",
                       "-show-results"}
-        _GUI_ONEARG = {"-max-per-page", "-theme"}
+        _GUI_ONEARG = {"-theme"}
+        if a == "-max-per-page":
+            self._max_per_page = int(self._need(args, i, "a number"))
+            return i + 2
         if a in _GUI_NOARG:
             warn(f"{a}: GUI option ignored (headless build; use -show for an "
                  f"HTML report)")

@@ -1,0 +1,117 @@
+"""Interactive web browser: paging, thumbnails, and dedup actions that
+write back to the Database (headless rebuild of the reference GUI,
+src/gui/mediabrowser.{h,cpp} + mediagrouplistwidget.cpp)."""
+
+import json
+import os
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cbird_tpu.cli.main import main
+from fixtures import synth_image
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture()
+def browser(tmp_path, monkeypatch):
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    rng = np.random.default_rng(31)
+    for i in range(2):
+        img = synth_image(rng, 160, 200)
+        Image.fromarray(img).save(os.path.join(root, f"base{i}.png"))
+        Image.fromarray(img).resize((150, 120), Image.BOX).save(
+            os.path.join(root, f"dup{i}.png"))
+    assert main(["-use", root, "-i.algos", "dct", "-i.fsize", "16",
+                 "-create", "-update"]) == 0
+    monkeypatch.setenv("CBIRD_TRASH_DIR", str(tmp_path / "trash"))
+
+    from cbird_tpu.host.engine import Engine
+    from cbird_tpu.params import IndexParams, SearchParams
+    from cbird_tpu.cli.browser import serve_browser
+    eng = Engine(root, IndexParams())
+    groups = eng.db.similar(SearchParams())
+    assert groups
+    server, thread, url = serve_browser(eng.db, groups, title="t",
+                                        max_per_page=1, block=False)
+    yield eng, groups, url
+    server.shutdown()
+    thread.join(timeout=5)
+    eng.db.close()
+
+
+def test_browser_pages_and_thumbs(browser):
+    eng, groups, url = browser
+    status, body = _get(url)
+    assert status == 200 and b"<html" in body
+    status, body = _get(url + "api/groups?page=0")
+    data = json.loads(body)
+    assert data["pages"] == len(groups)  # max_per_page=1
+    assert len(data["groups"]) == 1
+    item = data["groups"][0]["items"][0]
+    assert item["id"] > 0 and item["dims"]
+    status, body = _get(url + f"thumb/{item['id']}")
+    assert status == 200 and body[:2] == b"\xff\xd8"  # JPEG magic
+    # out-of-range page clamps
+    status, body = _get(url + "api/groups?page=99")
+    assert json.loads(body)["page"] == data["pages"] - 1
+
+
+def test_browser_actions(browser, tmp_path):
+    eng, groups, url = browser
+    _, data = _get(url + "api/groups?page=0")
+    items = json.loads(data)["groups"][0]["items"]
+    needle, other = items[0], items[1]
+
+    # weed writes a weed pair; shows up in the payload
+    status, resp = _post(url + "api/weed",
+                         {"id": other["id"], "other": needle["id"]})
+    assert status == 200 and resp.get("ok")
+    m = eng.db.media_with_id(other["id"])
+    assert eng.db.is_weed(m)
+    _, data = _get(url + "api/groups?page=0")
+    refreshed = json.loads(data)["groups"][0]["items"]
+    assert any(it["weed"] for it in refreshed)
+    status, resp = _post(url + "api/unweed", {"id": other["id"]})
+    assert status == 200
+    assert not eng.db.is_weed(m)
+
+    # negative match recorded
+    status, resp = _post(url + "api/negative",
+                         {"id": other["id"], "other": needle["id"]})
+    assert status == 200
+    a, b = eng.db.media_with_id(other["id"]), eng.db.media_with_id(needle["id"])
+    assert eng.db.is_negative_match(a, b)
+
+    # delete: file moves to trash, row leaves the index
+    victim_path = eng.db.media_with_id(other["id"]).path
+    status, resp = _post(url + "api/delete", {"id": other["id"]})
+    assert status == 200 and resp.get("ok")
+    assert not os.path.exists(victim_path)
+    assert os.path.exists(os.path.join(str(tmp_path / "trash"),
+                                       os.path.basename(victim_path)))
+    assert not eng.db.media_with_id(other["id"]).is_valid()
+    # double delete errors cleanly
+    status, resp = _post(url + "api/delete", {"id": other["id"]})
+    assert status == 400 and "already" in resp["error"]
+
+    # unknown id
+    status, resp = _post(url + "api/delete", {"id": 999999})
+    assert status == 400
