@@ -118,19 +118,38 @@ class DctFeaturesIndex(Index):
     def find(self, needle: Media, params: SearchParams) -> list[Match]:
         return self.find_batch([needle], params)[0]
 
+    # bound on flattened needle hashes per device sweep: at ~400 kp-hashes
+    # per image a 500k-needle N² run would otherwise flatten a multi-GB host
+    # array (and hold all raw hits) — stream in ~2M-hash slices instead
+    BATCH_HASHES = 1 << 21
+
     def find_batch(self, needles: list[Media], params: SearchParams) -> list[list[Match]]:
-        per_needle = [self._needle_hashes(n) for n in needles]
-        flat = np.concatenate([h for h in per_needle]) if per_needle else \
-            np.zeros(0, np.uint64)
-        if len(flat) == 0:
-            return [[] for _ in needles]
-        raw = self._store.search(flat, params.dctThresh, k=VOTE_K)
         out: list[list[Match]] = []
-        pos = 0
-        for needle, hashes in zip(needles, per_needle):
-            k = len(hashes)
-            out.append(self._vote(needle, raw[pos:pos + k]))
-            pos += k
+        slice_needles: list[tuple[Media, np.ndarray]] = []
+        pending = 0
+
+        def flush() -> None:
+            nonlocal pending
+            if not slice_needles:
+                return
+            flat = np.concatenate([h for _, h in slice_needles])
+            raw = self._store.search(flat, params.dctThresh, k=VOTE_K) \
+                if len(flat) else []
+            pos = 0
+            for needle, hashes in slice_needles:
+                k = len(hashes)
+                out.append(self._vote(needle, raw[pos:pos + k]))
+                pos += k
+            slice_needles.clear()
+            pending = 0
+
+        for n in needles:
+            h = self._needle_hashes(n)
+            slice_needles.append((n, h))
+            pending += len(h)
+            if pending >= self.BATCH_HASHES:
+                flush()
+        flush()
         return out
 
     def _vote(self, needle: Media, hits) -> list[Match]:

@@ -19,6 +19,17 @@ import jax
 if os.environ["JAX_PLATFORMS"] == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the ORB pyramid programs take ~3 min to
+# compile on one CPU core; cache them across test runs (CI restores this
+# directory via actions/cache)
+_cache_dir = os.environ.get(
+    "CBIRD_COMPILE_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 
