@@ -57,7 +57,7 @@ def main():
     cj = jnp.asarray(canvas)
     sj = jnp.asarray(sizes_arr)
     np.asarray(hash_step(cj, sj))  # compile + full sync (readback)
-    iters = 8
+    iters = 64  # enough dispatches in flight to amortize the tunnel floor
     t0 = time.perf_counter()
     for _ in range(iters):
         out = hash_step(cj, sj)

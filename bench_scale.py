@@ -1,0 +1,105 @@
+"""500k-item search benchmarks for every algo, on the real chip.
+
+Reference numbers at 500k images (readme.md:276-293 / BASELINE.md):
+  dct   10 needles: 1.3 s      | N² thresh 5: 8.9 s
+  fdct  10 needles: 1.5 s
+  orb   10 needles: 84.4 s (partial disk cache)
+  color 10 needles: DNF (no search structure; O(N) CPU scan)
+
+This script builds synthetic stores at the same scale and measures the
+device search paths.  Secondary evidence for BENCH — bench.py stays the
+one-line contract; run this ad hoc: `python bench_scale.py [algos...]`.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    return np.asarray(x)
+
+
+def bench_dct(n=500_000, needles=10):
+    import jax.numpy as jnp
+    from cbird_tpu.ops.hamming import PackedHashStore
+    rng = np.random.default_rng(0)
+    store = PackedHashStore()
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    store.add(hashes, np.arange(1, n + 1, dtype=np.uint32))
+    nh = hashes[rng.integers(0, n, needles)]
+    store.search(nh, 5)  # compile
+    t0 = time.perf_counter()
+    res = store.search(nh, 5)
+    dt = time.perf_counter() - t0
+    print(f"dct: {needles} needles vs {n / 1e3:.0f}k in {dt * 1000:.1f} ms "
+          f"(reference 1.3 s → {1.3 / dt:,.0f}x)")
+
+
+def bench_color(n=500_000, needles=10):
+    import jax.numpy as jnp
+    from cbird_tpu.ops.color import NUM_COLORS, PackedColorStore, quantize_luv
+    rng = np.random.default_rng(1)
+    # plausible Luv-ish clusters: L 5..95, u/v -80..80, weights descending
+    descs = np.zeros((n, NUM_COLORS + 1, 4), dtype=np.uint16)
+    luv = np.stack([rng.uniform(5, 95, (n, NUM_COLORS)),
+                    rng.uniform(-80, 80, (n, NUM_COLORS)),
+                    rng.uniform(-80, 80, (n, NUM_COLORS))], axis=-1)
+    descs[:, :NUM_COLORS, :3] = quantize_luv(luv.astype(np.float32))
+    descs[:, :NUM_COLORS, 3] = 100
+    descs[:, NUM_COLORS, 0] = rng.integers(20, 32, n)
+    store = PackedColorStore()
+    store.add(descs, np.arange(1, n + 1, dtype=np.uint32))
+    nd = [descs[i] for i in rng.integers(0, n, needles)]
+    store.search(nd, k=16)  # compile
+    t0 = time.perf_counter()
+    res = store.search(nd, k=16)
+    dt = time.perf_counter() - t0
+    hits = sum(int(r[0][0]) > 0 for r in res if len(r[0]))
+    print(f"color: {needles} needles vs {n / 1e3:.0f}k in {dt:.2f} s, "
+          f"{hits}/{needles} self-hits (reference: DNF at this scale)")
+
+
+def bench_orb(n_images=500_000, desc_per_image=100, needles=10):
+    """256-bit descriptor knn at 500k-image scale (the reference's FLANN
+    LSH takes 84 s for 10 needles and needs a disk cache)."""
+    from cbird_tpu.index.cv_features_index import _PackedDescStore
+    rng = np.random.default_rng(2)
+    n = n_images * desc_per_image  # 50M descriptors = 1.6 GB packed
+    desc = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    ids = np.repeat(np.arange(1, n_images + 1, dtype=np.uint32),
+                    desc_per_image)
+    store = _PackedDescStore()
+    store.add(desc, ids)
+    q = desc[rng.integers(0, n, needles * desc_per_image)]
+    store.knn(q[:desc_per_image])  # compile
+    t0 = time.perf_counter()
+    store.knn(q)
+    dt = time.perf_counter() - t0
+    print(f"orb: {needles} needles ({len(q)} descriptors) vs {n / 1e6:.0f}M "
+          f"stored descriptors in {dt:.2f} s (reference 84.4 s → "
+          f"{84.4 / dt:,.0f}x)")
+
+
+def bench_fdct(n_images=500_000, hashes_per_image=100, needles=10):
+    from cbird_tpu.ops.hamming import PackedHashStore
+    rng = np.random.default_rng(3)
+    n = n_images * hashes_per_image
+    store = PackedHashStore()
+    store.add(rng.integers(1, 2**63, size=n, dtype=np.uint64),
+              np.repeat(np.arange(1, n_images + 1, dtype=np.uint32),
+                        hashes_per_image))
+    q = store.hashes[rng.integers(0, n, needles * hashes_per_image)]
+    store.search(q[:hashes_per_image], 7, k=10)  # compile
+    t0 = time.perf_counter()
+    store.search(q, 7, k=10)
+    dt = time.perf_counter() - t0
+    print(f"fdct: {needles} needles ({len(q)} kp-hashes) vs {n / 1e6:.0f}M "
+          f"stored hashes in {dt:.2f} s (reference 1.5 s → {1.5 / dt:,.1f}x)")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["dct", "color", "orb", "fdct"]
+    for name in which:
+        globals()[f"bench_{name}"]()

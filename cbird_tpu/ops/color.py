@@ -263,20 +263,12 @@ def descriptor_num_colors(desc: np.ndarray) -> int:
 BAD_SCORE = np.float32(3.0e38)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def color_topk(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
-               h_colors: jnp.ndarray, h_counts: jnp.ndarray,
-               h_valid: jnp.ndarray, k: int = 64):
-    """Asymmetric min-distance-sum color matching, batched.
-
-    n_colors [Q,32,3] f32 needle Luv, n_counts [Q] numColors
-    h_colors [N,32,3], h_counts [N], h_valid [N]
-    @return (scores [Q,k] f32 ascending, indices [Q,k] i32); BAD_SCORE = miss
+def _color_scores(n_colors, n_counts, h_colors, h_counts, h_valid):
+    """[Q] needles vs [C] haystack rows → [Q, C] f32 scores (BAD_SCORE=miss).
 
     distance(a,b) = 1 + Σ_i min_j ‖a_i − b_j‖ where a is the side with more
     colors; rejected when |numA−numB| > 2 or either is 0
-    (reference src/cvutil.cpp:682-748).
-    """
+    (reference src/cvutil.cpp:682-748)."""
     g = jnp.einsum("qid,njd->qinj", n_colors, h_colors,
                    precision=jax.lax.Precision.HIGHEST)
     a2 = jnp.sum(n_colors * n_colors, axis=-1)  # [Q,32]
@@ -304,11 +296,54 @@ def color_topk(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
     reject = ((n_counts[:, None] == 0) | (h_counts[None, :] == 0)
               | (jnp.abs(n_counts[:, None] - h_counts[None, :]) > 2)
               | ~h_valid[None, :])
-    score = jnp.where(reject, BAD_SCORE, score)
+    return jnp.where(reject, BAD_SCORE, score)
 
-    k = min(k, score.shape[1])
-    neg, idx = jax.lax.top_k(-score, k)
-    return -neg, idx
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def color_topk(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
+               h_colors: jnp.ndarray, h_counts: jnp.ndarray,
+               h_valid: jnp.ndarray, k: int = 64, chunk: int = 4096):
+    """Asymmetric min-distance-sum color matching, batched.
+
+    n_colors [Q,32,3] f32 needle Luv, n_counts [Q] numColors
+    h_colors [N,32,3], h_counts [N], h_valid [N]
+    @return (scores [Q,k] f32 ascending, indices [Q,k] i32); BAD_SCORE = miss
+
+    The pairwise tensor is [Q,32,C,32] — materializing it for the whole
+    store would need >100 GB at 500k items, so the haystack is scanned in
+    ``chunk``-row blocks with a per-chunk top-k and one exact merge (same
+    streaming pattern as ops/hamming.hamming_topk; the reference's O(N)
+    CPU scan DNFs at this scale, readme.md:293)."""
+    q = n_colors.shape[0]
+    n = h_colors.shape[0]
+    k = min(k, n)
+    if n <= chunk:
+        score = _color_scores(n_colors, n_counts, h_colors, h_counts, h_valid)
+        neg, idx = jax.lax.top_k(-score, k)
+        return -neg, idx
+
+    n_pad = -n % chunk
+    if n_pad:
+        h_colors = jnp.pad(h_colors, ((0, n_pad), (0, 0), (0, 0)))
+        h_counts = jnp.pad(h_counts, (0, n_pad))
+        h_valid = jnp.pad(h_valid, (0, n_pad))
+    n_chunks = h_colors.shape[0] // chunk
+    hc = h_colors.reshape(n_chunks, chunk, NUM_COLORS, 3)
+    hn = h_counts.reshape(n_chunks, chunk)
+    hv = h_valid.reshape(n_chunks, chunk)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    def body(_, inp):
+        hc_c, hn_c, hv_c, base = inp
+        score = _color_scores(n_colors, n_counts, hc_c, hn_c, hv_c)
+        neg, idx = jax.lax.top_k(-score, k)
+        return None, (-neg, idx + base)
+
+    _, (ds, is_) = jax.lax.scan(body, None, (hc, hn, hv, bases))
+    ds = jnp.moveaxis(ds, 0, 1).reshape(q, -1)
+    is_ = jnp.moveaxis(is_, 0, 1).reshape(q, -1)
+    neg, sel = jax.lax.top_k(-ds, k)
+    return -neg, jnp.take_along_axis(is_, sel, axis=1)
 
 
 class PackedColorStore:

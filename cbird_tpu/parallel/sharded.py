@@ -40,6 +40,51 @@ def make_mesh(devices=None, axes: tuple[str, str] = ("batch", "index")) -> Mesh:
     return Mesh(mesh_devices, axes)
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host (DCN) bring-up: initialize jax.distributed once per
+    process, from args or the standard env (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID — auto-detected on Cloud TPU pods).
+
+    The search workload needs no cross-host work beyond more index shards
+    (SURVEY.md §2.4): after this, build the mesh with make_multihost_mesh
+    and every sharded_* entry point works unchanged — XLA routes the tiny
+    top-k all_gather over DCN between slices and ICI within them.
+    @return process count"""
+    import os
+
+    import jax
+    if jax.process_count() > 1:
+        return jax.process_count()  # already initialized
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator or os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = {}
+        if coordinator:
+            kwargs["coordinator_address"] = coordinator
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
+    return jax.process_count()
+
+
+def make_multihost_mesh(axes: tuple[str, str] = ("batch", "index")) -> Mesh:
+    """Global 2D mesh for a multi-host deployment: the ``index`` axis (which
+    carries the top-k all_gather) stays inside each slice on ICI; the
+    ``batch`` axis (no collectives at all) spans hosts over DCN.  On a
+    single process this degenerates to make_mesh()."""
+    if jax.process_count() == 1:
+        return make_mesh()
+    from jax.experimental import mesh_utils
+    local = jax.local_device_count()
+    dev = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, local),
+        dcn_mesh_shape=(jax.process_count(), 1))
+    return Mesh(dev, axes)
+
+
 def _local_topk(needles, haystack, valid, k: int):
     """Single-shard top-k (no jit wrapper — runs inside shard_map)."""
     d = _chunk_dists(needles[:, 0], needles[:, 1], haystack[:, 0], haystack[:, 1])

@@ -70,3 +70,14 @@ def test_sharded_tombstones(mesh, rng):
     d, i = sharded_hamming_topk(mesh, jnp.asarray(ns), hs_d, vs_d, k=4)
     i = np.asarray(i)
     assert (i >= 1024).all()  # no tombstoned row ever returned
+
+
+def test_multihost_helpers():
+    """Single-process degeneration of the multi-host API (full DCN path
+    needs real pods; here init is a no-op and the mesh falls back)."""
+    import jax
+    from cbird_tpu.parallel.sharded import init_distributed, make_multihost_mesh
+    assert init_distributed() == 1  # no coordinator configured → local only
+    mesh = make_multihost_mesh()
+    assert mesh.axis_names == ("batch", "index")
+    assert int(np.prod(mesh.devices.shape)) == len(jax.devices())
