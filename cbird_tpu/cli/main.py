@@ -100,7 +100,8 @@ _KNOWN_VERBS = [
     "-sort-result-rev", "-sort-similar", "-merge", "-group-by", "-head", "-tail",
     "-first", "-first-sibling", "-chop", "-dump", "-json", "-count", "-show",
     "-browse", "-max-per-page",
-    "-test-csv", "-select-files", "-select-sql", "-select-grid",
+    "-test-csv", "-test-image-search", "-select-files", "-select-sql",
+    "-select-grid",
     "-list-formats", "-qualityscore", "-jpeg-repair-script",
     "-rename", "-move", "-nuke", "-nuke-dups-in", "-nuke-weeds",
     "-qualityscore", "-video-thumbnail", "-compare-videos",
@@ -620,6 +621,9 @@ complete -F _cbird_complete cbird""")
             print(f"{f}: {d.width}x{d.height} -> gray {d.gray.shape[1]}x"
                   f"{d.gray.shape[0]} md5={d.md5} {dt:.1f} ms")
             return i + 2
+        if a == "-test-image-search":
+            self._test_image_search()
+            return i + 1
         if a == "-test-video-decoder":
             f = self._need(args, i, "a video file")
             import time as _time
@@ -757,6 +761,52 @@ complete -F _cbird_complete cbird""")
             ordered.append(items.pop(best))
         self.selection = ordered
         self.result = [ordered]
+
+    def _test_image_search(self) -> None:
+        """Self-recall harness (reference -test-image-search,
+        src/commands.cpp:863-963): re-decode + re-hash every selected image
+        as an unindexed needle, query each algo, and report hit rate and
+        score/rank statistics.  A 100% hit rate means the decode→hash→search
+        path reproduces the index bit-for-bit."""
+        from ..host.scanner import media_type_for
+        eng = self.engine()
+        items = [m for m in (self.selection or eng.db.all_media())
+                 if m.type == Media.TypeImage]
+        if not items:
+            warn("test-image-search: no image selection")
+            return
+        print("| algo | hit | miss | miss% | score avg/min/max | rank avg/max |")
+        failures = 0
+        for algo in (0, 1, 2):
+            sp = self.search.copy()
+            sp.algo = algo
+            hit = miss = 0
+            scores: list[int] = []
+            ranks: list[int] = []
+            for m in items:
+                fresh = eng.scanner.process_image_file(m.path, 1 << algo)
+                if fresh is None:
+                    miss += 1
+                    continue
+                matches = eng.query(fresh, sp)
+                rank = next((r for r, x in enumerate(matches)
+                             if x.id == m.id or x.path == m.path), -1)
+                if rank < 0:
+                    miss += 1
+                else:
+                    hit += 1
+                    scores.append(matches[rank].score)
+                    ranks.append(rank)
+            total = hit + miss
+            avg_s = sum(scores) / hit if hit else 0
+            avg_r = sum(ranks) / hit if hit else 0
+            print(f"| {('dct', 'fdct', 'orb')[algo]:>4} | {hit:3d} | {miss:3d} "
+                  f"| {miss * 100.0 / total:5.1f} "
+                  f"| {avg_s:.2f}/{min(scores, default=0)}/{max(scores, default=0)} "
+                  f"| {avg_r:.2f}/{max(ranks, default=0)} |")
+            failures += miss
+        if failures:
+            warn(f"test-image-search: {failures} misses")
 
     def _merge(self, sel_a: str, sel_b: str) -> None:
         """Merge selection B into (sorted) selection A by similarity

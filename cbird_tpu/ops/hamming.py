@@ -285,7 +285,10 @@ class PackedHashStore:
         # per-call host sync costs 100+ ms through a remote TPU tunnel
         hot = np.arange(q_total)
         if len(self._hashes) > 4096 and q_total > 64:
-            cb = 4096 if q_total <= 65536 else 16384
+            # batch bucket: next power of two (≥128, ≤4096/16384) so a
+            # 1000-needle query scans at 1024 wide, not padded to 4096
+            cap = 4096 if q_total <= 65536 else 16384
+            cb = min(cap, max(128, 1 << (q_total - 1).bit_length()))
             pending = []
             for s in range(0, q_total, cb):
                 nb = needles[s:s + cb]

@@ -231,3 +231,13 @@ def test_merge_selections(tmp_path, capsys):
     # every dup must sit directly next to its base
     for i in range(3):
         assert abs(names.index(f"dup{i}.png") - names.index(f"base{i}.png")) == 1, names
+
+
+def test_image_search_harness(small_index, capsys):
+    """-test-image-search re-hashes every indexed image and must find each
+    at 100% (reference src/commands.cpp:863-963)."""
+    rc = main(["-use", small_index, "-select-all", "-test-image-search"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    dct_row = [l for l in out.splitlines() if "dct" in l and "fdct" not in l][0]
+    assert "|   3 |   0 |   0.0" in dct_row, out
