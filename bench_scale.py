@@ -29,7 +29,7 @@ def bench_dct(n=500_000, needles=10):
     hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
     store.add(hashes, np.arange(1, n + 1, dtype=np.uint32))
     nh = hashes[rng.integers(0, n, needles)]
-    store.search(nh, 5)  # compile
+    store.search(nh, 5)  # compile (same shapes as the timed call)
     t0 = time.perf_counter()
     res = store.search(nh, 5)
     dt = time.perf_counter() - t0
@@ -52,7 +52,7 @@ def bench_color(n=500_000, needles=10):
     store = PackedColorStore()
     store.add(descs, np.arange(1, n + 1, dtype=np.uint32))
     nd = [descs[i] for i in rng.integers(0, n, needles)]
-    store.search(nd, k=16)  # compile
+    store.search(nd, k=16)  # compile (same shapes as the timed call)
     t0 = time.perf_counter()
     res = store.search(nd, k=16)
     dt = time.perf_counter() - t0
@@ -73,7 +73,7 @@ def bench_orb(n_images=500_000, desc_per_image=100, needles=10):
     store = _PackedDescStore()
     store.add(desc, ids)
     q = desc[rng.integers(0, n, needles * desc_per_image)]
-    store.knn(q[:desc_per_image])  # compile
+    store.knn(q)  # compile (same shapes as the timed call)
     t0 = time.perf_counter()
     store.knn(q)
     dt = time.perf_counter() - t0
@@ -91,7 +91,7 @@ def bench_fdct(n_images=500_000, hashes_per_image=100, needles=10):
               np.repeat(np.arange(1, n_images + 1, dtype=np.uint32),
                         hashes_per_image))
     q = store.hashes[rng.integers(0, n, needles * hashes_per_image)]
-    store.search(q[:hashes_per_image], 7, k=10)  # compile
+    store.search(q, 7, k=10)  # compile (same shapes as the timed call)
     t0 = time.perf_counter()
     store.search(q, 7, k=10)
     dt = time.perf_counter() - t0
@@ -103,3 +103,24 @@ if __name__ == "__main__":
     which = sys.argv[1:] or ["dct", "color", "orb", "fdct"]
     for name in which:
         globals()[f"bench_{name}"]()
+
+
+def bench_video(n_videos=20_000, frames_per_video=500, needles=10):
+    """Image→video frame search over 10M frames with per-video segment-min
+    (the reference's RadixMap scan at this scale is the v0.8 '5-10x'
+    headline, readme.md:326)."""
+    from cbird_tpu.ops.video_search import PackedFrameStore
+    rng = np.random.default_rng(4)
+    store = PackedFrameStore()
+    for v in range(n_videos):
+        nf = frames_per_video
+        store.add_video(v + 1, np.arange(nf, dtype=np.int32) * 10,
+                        rng.integers(1, 2**63, size=nf, dtype=np.uint64))
+    q = rng.integers(1, 2**63, size=needles, dtype=np.uint64)
+    store.search(q)  # compile (same shapes as the timed call)
+    t0 = time.perf_counter()
+    d, f = store.search(q)
+    dt = time.perf_counter() - t0
+    print(f"video: {needles} image needles vs {n_videos / 1e3:.0f}k videos / "
+          f"{n_videos * frames_per_video / 1e6:.0f}M frames in "
+          f"{dt * 1000:.0f} ms (per-video segment-min on device)")

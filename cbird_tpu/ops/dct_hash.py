@@ -238,6 +238,30 @@ def dct_hash_from_boxes(canvas: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=1)
 
 
+@jax.jit
+def average_hash_batch(canvas: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:
+    """8×8 mean-threshold aHash, batched (reference averageHash64,
+    src/cvutil.cpp:564-576 — parity kernel, unused in the main path).
+    canvas [B,H,W] uint8 → [B,2] uint32.  Area resize reuses the per-image
+    linear-map machinery (blur radius 0)."""
+    B, H, W = canvas.shape
+    h = sizes[:, 0].astype(jnp.int32)
+    w = sizes[:, 1].astype(jnp.int32)
+    zero_r = jnp.zeros_like(h)
+    mh = jax.vmap(functools.partial(_axis_map, n_out=8, n_canvas=H))(
+        zero_r, h, zero_r)
+    mw = jax.vmap(functools.partial(_axis_map, n_out=8, n_canvas=W))(
+        zero_r, w, zero_r)
+    x = canvas.astype(jnp.float32)
+    g = jnp.einsum("bih,bhw->biw", mh, x)
+    g = jnp.einsum("biw,bjw->bij", g, mw).reshape(B, 64)
+    bits = g > jnp.mean(g, axis=1, keepdims=True)
+    pw = jnp.asarray(_POW32)
+    lo = jnp.sum(bits[:, :32].astype(jnp.uint32) * pw, axis=1, dtype=jnp.uint32)
+    hi = jnp.sum(bits[:, 32:].astype(jnp.uint32) * pw, axis=1, dtype=jnp.uint32)
+    return jnp.stack([lo, hi], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("do_crop", "crop_range"))
 def hash_batch(canvas: jnp.ndarray, sizes: jnp.ndarray, do_crop: bool = False,
                crop_range: int = 20):

@@ -147,3 +147,17 @@ def test_autocrop_then_hash_matches(images):
     # and the crop recovers (close to) the original image's hash
     want_orig = ref.dct_hash64(images[0])
     assert ref.hamming64(got, want_orig) <= 2
+
+
+def test_average_hash_batch_matches_golden(images):
+    """Device aHash vs the numpy golden model (reference averageHash64)."""
+    import jax.numpy as jnp
+    from cbird_tpu.ops.dct_hash import average_hash_batch, combine_u32, pack_canvas
+    from cbird_tpu.ops import ref_numpy
+    canvas, sizes = pack_canvas(images, 512, 512)
+    got = combine_u32(np.asarray(average_hash_batch(jnp.asarray(canvas),
+                                                    jnp.asarray(sizes))))
+    for img, h in zip(images, got):
+        ref = ref_numpy.average_hash64(img)
+        dist = bin(int(h) ^ ref).count("1")
+        assert dist <= 2, (hex(int(h)), hex(ref), dist)  # f32 vs f64 threshold ties
