@@ -77,7 +77,8 @@ async function load(p) {
                      (m.removed?' removed':'');
       const needleId = g.items[0].id;
       it.innerHTML =
-        '<img loading="lazy" src="/thumb/' + m.id + '">' +
+        '<a href="/file/' + m.id + '" target="_blank">' +
+        '<img loading="lazy" src="/thumb/' + m.id + '"></a>' +
         '<div class="meta">' + m.name + '<br>' + m.dims +
         (m.score>=0 ? ' <span class="score">score ' + m.score + '</span>' : '') +
         (m.range ? ' ' + m.range : '') + (m.weed ? ' WEED' : '') + '</div>' +
@@ -226,6 +227,23 @@ class _Handler(BaseHTTPRequestHandler):
             q = parse_qs(url.query)
             page = int(q.get("page", ["0"])[0])
             self._json(self.state.page_payload(page))
+        elif url.path.startswith("/file/"):
+            # full-size original (headless analog of DesktopHelper::open)
+            try:
+                mid = int(url.path.rsplit("/", 1)[1])
+            except ValueError:
+                return self._send(404, b"bad id", "text/plain")
+            m = self.state.media(mid)
+            if m is None or mid in self.state.removed:
+                return self._send(404, b"gone", "text/plain")
+            try:
+                from ..host.scanner import read_bytes
+                data = read_bytes(m.path)
+            except (OSError, KeyError):
+                return self._send(404, b"unreadable", "text/plain")
+            import mimetypes
+            ctype = mimetypes.guess_type(m.path)[0] or "application/octet-stream"
+            self._send(200, data, ctype)
         elif url.path.startswith("/thumb/"):
             try:
                 mid = int(url.path.rsplit("/", 1)[1])

@@ -115,3 +115,13 @@ def test_browser_actions(browser, tmp_path):
     # unknown id
     status, resp = _post(url + "api/delete", {"id": 999999})
     assert status == 400
+
+
+def test_browser_serves_original(browser):
+    eng, groups, url = browser
+    _, data = _get(url + "api/groups?page=0")
+    item = json.loads(data)["groups"][0]["items"][0]
+    status, body = _get(url + f"file/{item['id']}")
+    assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    with open(eng.db.media_with_id(item["id"]).path, "rb") as f:
+        assert body == f.read()
