@@ -99,19 +99,15 @@ def bench_fdct(n_images=500_000, hashes_per_image=100, needles=10):
           f"stored hashes in {dt:.2f} s (reference 1.5 s → {1.5 / dt:,.1f}x)")
 
 
-if __name__ == "__main__":
-    which = sys.argv[1:] or ["dct", "color", "orb", "fdct"]
-    for name in which:
-        globals()[f"bench_{name}"]()
 
 
 def bench_video(n_videos=20_000, frames_per_video=500, needles=10):
     """Image→video frame search over 10M frames with per-video segment-min
     (the reference's RadixMap scan at this scale is the v0.8 '5-10x'
     headline, readme.md:326)."""
-    from cbird_tpu.ops.video_search import PackedFrameStore
+    from cbird_tpu.ops.video_search import PackedVideoStore
     rng = np.random.default_rng(4)
-    store = PackedFrameStore()
+    store = PackedVideoStore()
     for v in range(n_videos):
         nf = frames_per_video
         store.add_video(v + 1, np.arange(nf, dtype=np.int32) * 10,
@@ -124,3 +120,9 @@ def bench_video(n_videos=20_000, frames_per_video=500, needles=10):
     print(f"video: {needles} image needles vs {n_videos / 1e3:.0f}k videos / "
           f"{n_videos * frames_per_video / 1e6:.0f}M frames in "
           f"{dt * 1000:.0f} ms (per-video segment-min on device)")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["dct", "color", "orb", "fdct", "video"]
+    for name in which:
+        globals()[f"bench_{name}"]()

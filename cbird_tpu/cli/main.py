@@ -200,7 +200,7 @@ class Cli:
         if a.startswith("-i."):
             self.index.set_param(a[3:], self._need(args, i, "a value"))
             return i + 2
-        if a == "-list-params":
+        if a in ("-list-params", "-list-search-params"):
             print(self.search.help_text())
             return i + 1
         if a == "-list-index-params":
@@ -589,7 +589,7 @@ complete -F _cbird_complete cbird""")
                           port=int(os.environ.get("CBIRD_BROWSER_PORT", "0")),
                           max_per_page=self._max_per_page)
             return i + 1
-        if a == "-test-csv":
+        if a in ("-test-csv", "-simtest"):  # -simtest: legacy usage.txt name
             from .testcsv import run_test_csv
             f = self._need(args, i, "a csv file")
             stats = run_test_csv(self.engine(), self.search, f)
@@ -624,7 +624,7 @@ complete -F _cbird_complete cbird""")
         if a == "-test-image-search":
             self._test_image_search()
             return i + 1
-        if a == "-test-video-decoder":
+        if a in ("-test-video-decoder", "-test-video"):
             f = self._need(args, i, "a video file")
             import time as _time
             from ..host.video import backend_for

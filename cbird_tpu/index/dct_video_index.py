@@ -198,6 +198,7 @@ class DctVideoIndex(Index):
         chunk._loaded = True
         keep = {int(i) for i in media_ids}
         store = self._store
+        store._consolidate()  # pending per-video appends → flat arrays
         for slot, mid in enumerate(store.media_ids):
             if mid in keep:
                 sel = store._vidx == slot

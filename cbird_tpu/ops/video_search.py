@@ -74,29 +74,40 @@ class PackedVideoStore:
         self._hashes = np.zeros(0, np.uint64)
         self._vidx = np.zeros(0, np.int32)    # frame -> video slot
         self._frames = np.zeros(0, np.int32)
+        # per-video appends buffer here and consolidate lazily — a
+        # concatenate per add_video would make a V-video ingest O(V²)
+        self._pending: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._dev = None
+
+    def _consolidate(self) -> None:
+        if self._pending:
+            self._hashes = np.concatenate(
+                [self._hashes] + [p[0] for p in self._pending])
+            self._vidx = np.concatenate(
+                [self._vidx] + [p[1] for p in self._pending])
+            self._frames = np.concatenate(
+                [self._frames] + [p[2] for p in self._pending])
+            self._pending.clear()
 
     def __len__(self):
         return sum(1 for i in self._media_ids if i)
 
     def frame_count(self) -> int:
-        return len(self._hashes)
+        return len(self._hashes) + sum(len(p[0]) for p in self._pending)
 
     @property
     def media_ids(self):
         return self._media_ids
 
     def memory_usage(self) -> int:
-        return self._hashes.nbytes + self._vidx.nbytes + self._frames.nbytes
+        return (self.frame_count() * (8 + 4 + 4))
 
     def add_video(self, media_id: int, frames: np.ndarray, hashes: np.ndarray) -> None:
         slot = len(self._media_ids)
         self._media_ids.append(int(media_id))
-        self._hashes = np.concatenate([self._hashes, np.asarray(hashes, np.uint64)])
-        self._vidx = np.concatenate(
-            [self._vidx, np.full(len(hashes), slot, np.int32)])
-        self._frames = np.concatenate(
-            [self._frames, np.asarray(frames, np.int32)])
+        self._pending.append((np.asarray(hashes, np.uint64),
+                              np.full(len(hashes), slot, np.int32),
+                              np.asarray(frames, np.int32)))
         self._dev = None
 
     def remove(self, media_ids) -> None:
@@ -112,6 +123,7 @@ class PackedVideoStore:
     def _device(self):
         if self._dev is None:
             from .dct_hash import split_u64
+            self._consolidate()
             f = max(len(self._hashes), 1)
             fb = max(1 << (f - 1).bit_length(), 1024)
             v = max(len(self._media_ids), 1)
@@ -138,7 +150,7 @@ class PackedVideoStore:
         from .dct_hash import split_u64
         v = len(self._media_ids)
         q_total = len(needle_hashes)
-        if q_total == 0 or v == 0 or len(self._hashes) == 0:
+        if q_total == 0 or v == 0 or self.frame_count() == 0:
             return (np.full((q_total, max(v, 1)), 65, np.int32),
                     np.zeros((q_total, max(v, 1)), np.int32))
         pairs, vidx, frames, valid, vb = self._device()
