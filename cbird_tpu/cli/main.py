@@ -32,6 +32,8 @@ usage: cbird [args...]   (arguments are executed in order)
     -remove <selector>  remove selection from the index (not files)
     -vacuum             compact databases
     -verify             re-check md5 of every indexed file
+    -migrate            upgrade legacy v1 .vdx video files (-i.dryrun previews)
+    -jpeg-repair-script <s>  hook -verify runs on damaged jpegs
 
   search:
     -similar            find similar groups within the whole index
@@ -83,9 +85,26 @@ usage: cbird [args...]   (arguments are executed in order)
     -list-params        show search parameters
     -list-index-params  show index parameters
 
+  reports:
+    -show               write an HTML report of the current result
+    -select-grid <file> split a collage grid into cell images and select them
+    -qualityscore       print no-reference quality score per selected item
+    -video-thumbnail <file> <frame>  save one decoded frame as png
+    -compare-videos <a> <b>          export temporally aligned frame pairs
+
+  diagnostics:
+    -test-csv <file>    needle,expected-match accuracy harness (alias -simtest)
+    -test-image-search  re-hash every selected image, report self-recall
+    -test-image-loader <file>   decode timing/info for one image
+    -test-video-decoder <file>  decode timing/info for one video (alias -test-video)
+    -select-sql <where> select media rows by SQL where clause
+    -select-files <f..> select literal files (indexed or not)
+    -license            print license
+
   misc:
     -about              versions and limits
     -args <file>        insert arguments from file
+    -complete <shell>   print shell completion script
     -v / -q             verbose / quiet logging
     -h, -help           this text
 """.replace("VERSION", __version__)
