@@ -114,6 +114,32 @@ def _page_html(title: str) -> str:
 <script>{_PAGE_JS}</script></body></html>"""
 
 
+def transform_groups(groups: MediaGroupList, mode: str) -> MediaGroupList:
+    """Browser view modes (reference MediaBrowser modes,
+    src/gui/mediabrowser.h:30-34):
+
+    - "normal": groups as-is
+    - "pairs" (-sets): one group per (needle, match) pair
+    - "folders" (-folders): regroup all items by parent directory
+    """
+    if mode == "pairs":
+        out = []
+        for g in groups:
+            if len(g) <= 2:
+                if g:
+                    out.append(list(g))
+                continue
+            out.extend([[g[0], m] for m in g[1:]])
+        return out
+    if mode == "folders":
+        by_dir: dict[str, list] = {}
+        for g in groups:
+            for m in g:
+                by_dir.setdefault(m.dir_path(), []).append(m)
+        return [by_dir[d] for d in sorted(by_dir)]
+    return groups
+
+
 class BrowserState:
     """Mutable view of the result list shared between requests."""
 

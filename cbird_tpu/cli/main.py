@@ -138,6 +138,7 @@ class Cli:
         self.result: list[list[Media]] = []
         self._engine = None
         self._max_per_page = 12  # reference default (src/main.cpp:1671-1719)
+        self._show_mode = "normal"  # -sets → pairs, -folders → folders
 
     # lazy engine (reference lazy global Engine&, src/main.cpp:540-559)
     def engine(self):
@@ -602,8 +603,9 @@ complete -F _cbird_complete cbird""")
             write_report(self.result, out, title=f"cbird {self.index_dir}")
             return i + 1
         if a == "-browse":
-            from .browser import serve_browser
-            serve_browser(self.engine().db, self.result,
+            from .browser import serve_browser, transform_groups
+            serve_browser(self.engine().db,
+                          transform_groups(self.result, self._show_mode),
                           title=f"cbird {self.index_dir}",
                           port=int(os.environ.get("CBIRD_BROWSER_PORT", "0")),
                           max_per_page=self._max_per_page)
@@ -679,7 +681,12 @@ complete -F _cbird_complete cbird""")
 
         # GUI-only verbs: accepted for cbird script compatibility, no-ops in
         # this headless build (the -show HTML report replaces the browser)
-        _GUI_NOARG = {"-folders", "-sets", "-exit-on-select", "-headless",
+        if a in ("-sets", "-folders"):
+            # browser view modes (reference MediaBrowser::ShowPairs /
+            # ShowFolders, src/gui/mediabrowser.h:30-34)
+            self._show_mode = "pairs" if a == "-sets" else "folders"
+            return i + 1
+        _GUI_NOARG = {"-exit-on-select", "-headless",
                       "-no-delete", "-first-sibling", "-focus-first",
                       "-show-results"}
         _GUI_ONEARG = {"-theme"}

@@ -125,3 +125,17 @@ def test_browser_serves_original(browser):
     assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
     with open(eng.db.media_with_id(item["id"]).path, "rb") as f:
         assert body == f.read()
+
+
+def test_transform_groups():
+    from cbird_tpu.cli.browser import transform_groups
+    from cbird_tpu.store.media import Media
+    a, b, c = (Media(f"/d1/{n}.png", Media.TypeImage) for n in "abc")
+    d = Media("/d2/d.png", Media.TypeImage)
+    groups = [[a, b, c], [d]]
+    pairs = transform_groups(groups, "pairs")
+    assert [[m.path for m in g] for g in pairs] == \
+        [[a.path, b.path], [a.path, c.path], [d.path]]
+    folders = transform_groups(groups, "folders")
+    assert [len(g) for g in folders] == [3, 1]
+    assert transform_groups(groups, "normal") == groups
