@@ -905,18 +905,14 @@ complete -F _cbird_complete cbird""")
     def _video_thumbnail(self, path: str, frame_no: int) -> None:
         """Save one decoded frame as <name>-frame<N>.png (reference
         -video-thumbnail)."""
-        from ..host.video import backend_for
+        from ..host.video import grab_frame
         from PIL import Image
-        be = backend_for(path)
-        if be is None:
-            raise ParamError(f"no decode backend for {path}")
-        for n, frame in enumerate(be.frames(path, max_side=100000)):
-            if n == frame_no:
-                out = os.path.splitext(path)[0] + f"-frame{frame_no}.png"
-                Image.fromarray(frame).save(out)
-                info(f"wrote {out}")
-                return
-        raise ParamError(f"frame {frame_no} beyond end of {path}")
+        frame = grab_frame(path, frame_no)
+        if frame is None:
+            raise ParamError(f"cannot grab frame {frame_no} of {path}")
+        out = os.path.splitext(path)[0] + f"-frame{frame_no}.png"
+        Image.fromarray(frame).save(out)
+        info(f"wrote {out}")
 
     def _compare_videos(self, a: str, b: str) -> None:
         """Align two videos by their hash sequences and export matched frame
@@ -961,14 +957,8 @@ complete -F _cbird_complete cbird""")
 
     @staticmethod
     def _grab_frame(path: str, frame_no: int):
-        from ..host.video import backend_for
-        be = backend_for(path)
-        if be is None:
-            return None
-        for n, frame in enumerate(be.frames(path, max_side=100000)):
-            if n == frame_no:
-                return frame
-        return None
+        from ..host.video import grab_frame
+        return grab_frame(path, frame_no)
 
     def _migrate(self) -> None:
         """Upgrade legacy v1 .vdx files to the v2 container, honoring

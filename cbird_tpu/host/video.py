@@ -63,9 +63,10 @@ class FseqBackend:
             fps = float(z["fps"])
         return {"width": w, "height": h, "fps": fps, "duration": n / fps}
 
-    def frames(self, path: str, max_side: int = DECODE_MAX_SIDE) -> Iterator[np.ndarray]:
+    def frames(self, path: str, max_side: int = DECODE_MAX_SIDE,
+               start: int = 0) -> Iterator[np.ndarray]:
         with np.load(path) as z:
-            arr = z["frames"]
+            arr = z["frames"][start:] if start else z["frames"]
             for frame in arr:
                 if max(frame.shape) > max_side:
                     s = max_side / max(frame.shape)
@@ -96,17 +97,26 @@ class FfmpegBackend:
         return {"width": int(w or 0), "height": int(h or 0), "fps": fps,
                 "duration": float(dur or 0)}
 
-    def frames(self, path: str, max_side: int = DECODE_MAX_SIDE) -> Iterator[np.ndarray]:
+    def frames(self, path: str, max_side: int = DECODE_MAX_SIDE,
+               start: int = 0) -> Iterator[np.ndarray]:
+        """@param start first frame number to yield (frame-accurate: a
+        select filter drops earlier frames after decode, so resume/seek
+        never transfers or scales skipped frames — the analog of the
+        reference's accurate seek, src/videocontext.cpp:1642-1773)."""
         meta = self.probe(path)
         w, h = meta["width"], meta["height"]
         if w <= 0 or h <= 0:
             return
         scale = min(1.0, max_side / max(w, h))
         ow, oh = max(2, int(w * scale) // 2 * 2), max(2, int(h * scale) // 2 * 2)
+        vf = f"scale={ow}:{oh}"
+        if start:
+            vf = f"select=gte(n\\,{start})," + vf
         proc = subprocess.Popen(
             ["ffmpeg", "-v", "error", "-skip_frame", "default",
              "-flags2", "fast", "-i", path,
-             "-vf", f"scale={ow}:{oh}", "-f", "rawvideo", "-pix_fmt", "gray", "-"],
+             "-vf", vf, "-fps_mode", "passthrough",
+             "-f", "rawvideo", "-pix_fmt", "gray", "-"],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
         frame_bytes = ow * oh
         try:
@@ -126,6 +136,22 @@ def backend_for(path: str):
     if FfmpegBackend.available():
         return FfmpegBackend()
     return None
+
+
+def grab_frame(path: str, frame_no: int,
+               max_side: int = 100000) -> Optional[np.ndarray]:
+    """Decode exactly one frame (reference VideoContext::frameGrab,
+    src/videocontext.cpp:354+): seeks via the backend's start support and
+    stops the decoder after the first yielded frame."""
+    be = backend_for(path)
+    if be is None:
+        return None
+    it = be.frames(path, max_side=max_side, start=frame_no)
+    try:
+        return next(iter(it), None)
+    finally:
+        if hasattr(it, "close"):
+            it.close()
 
 
 # ---------------------------------------------------------------------------
@@ -223,8 +249,6 @@ def process_video(path: str, params: IndexParams,
     When ``video_dir`` holds a ``resume-<md5>.vdx`` (left by -migrate for
     videos that hit the v1 65k-frame wrap, src/scanner.cpp:1105-1116), the
     stored run is kept and hashing resumes from its last frame + 1."""
-    import itertools
-
     backend = backend_for(path)
     if backend is None:
         warn(f"no video decode backend for {path} (ffmpeg not found)")
@@ -252,9 +276,8 @@ def process_video(path: str, params: IndexParams,
     if prior is not None:
         start = int(prior.frames[-1]) + 1
         debug(f"resuming index from frame: {start}")
-        tail = make_video_index(
-            itertools.islice(backend.frames(path), start, None),
-            params.videoThreshold, start_frame=start)
+        tail = make_video_index(backend.frames(path, start=start),
+                                params.videoThreshold, start_frame=start)
         if tail.is_empty():
             # resume point past the end (like a failed seek,
             # src/media.cpp:934-937): fall back to a full re-hash

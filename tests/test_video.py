@@ -398,3 +398,19 @@ def test_video_queue_ljf(tmp_path):
     scan = sc.scan_directory(root)
     sizes = [os.path.getsize(p) for p in scan.new_videos]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_grab_frame_and_start(tmp_path):
+    """Backend start= support + single-frame grab (reference frameGrab /
+    accurate seek)."""
+    from cbird_tpu.host.video import grab_frame
+    frames = make_frames(30, seed=9)
+    p = str(tmp_path / "c.fseq")
+    FseqBackend.save(p, frames, 10.0)
+    be = FseqBackend()
+    got = list(be.frames(p, start=25))
+    assert len(got) == 5
+    assert np.array_equal(got[0], frames[25])
+    f = grab_frame(p, 17)
+    assert np.array_equal(f, frames[17])
+    assert grab_frame(p, 99) is None
