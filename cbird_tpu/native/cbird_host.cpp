@@ -39,6 +39,22 @@ static inline int popcount64(uint64_t v) {
 #endif
 }
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+// 4x64-bit popcount via the pshufb nibble LUT (the AVX2 replacement for
+// the reference's hand-unrolled radix scan, src/tree/radix.h:187-230).
+static inline __m256i popcount256_epi64(__m256i v) {
+    const __m256i lut = _mm256_setr_epi8(0,1,1,2,1,2,2,3,1,2,2,3,2,3,3,4,
+                                         0,1,1,2,1,2,2,3,1,2,2,3,2,3,3,4);
+    const __m256i low = _mm256_set1_epi8(0x0f);
+    const __m256i lo = _mm256_and_si256(v, low);
+    const __m256i hi = _mm256_and_si256(_mm256_srli_epi32(v, 4), low);
+    const __m256i cnt = _mm256_add_epi8(_mm256_shuffle_epi8(lut, lo),
+                                        _mm256_shuffle_epi8(lut, hi));
+    return _mm256_sad_epu8(cnt, _mm256_setzero_si256());
+}
+#endif
+
 // ---------------------------------------------------------------------------
 // 1. jpeg payload
 // ---------------------------------------------------------------------------
@@ -131,7 +147,31 @@ EXPORT int64_t cbird_hamming_scan(const uint64_t* hashes, const uint32_t* ids,
                                   int32_t* out_idx, int32_t* out_dist,
                                   int64_t cap) {
     int64_t hits = 0;
-    for (int64_t i = 0; i < n; ++i) {
+    int64_t i = 0;
+#if defined(__AVX2__)
+    // 4 rows per iteration; one movemask branch skips miss-only groups
+    const __m256i vneedle = _mm256_set1_epi64x((int64_t)needle);
+    const __m256i vthresh = _mm256_set1_epi64x(threshold);
+    alignas(32) uint64_t dbuf[4];
+    for (; i + 4 <= n; i += 4) {
+        const __m256i h = _mm256_loadu_si256((const __m256i*)(hashes + i));
+        const __m256i d4 = popcount256_epi64(_mm256_xor_si256(h, vneedle));
+        const __m256i lt = _mm256_cmpgt_epi64(vthresh, d4);
+        if (!_mm256_movemask_pd(_mm256_castsi256_pd(lt))) continue;
+        _mm256_store_si256((__m256i*)dbuf, d4);
+        for (int l = 0; l < 4; ++l) {
+            const int d = (int)dbuf[l];
+            if (d < threshold && ids[i + l] != 0) {
+                if (hits < cap) {
+                    out_idx[hits] = (int32_t)(i + l);
+                    out_dist[hits] = d;
+                }
+                hits++;
+            }
+        }
+    }
+#endif
+    for (; i < n; ++i) {
         const int d = popcount64(hashes[i] ^ needle);
         if (d < threshold && ids[i] != 0) {
             if (hits < cap) {
@@ -155,7 +195,34 @@ EXPORT void cbird_hamming_knn(const uint64_t* hashes, const uint32_t* ids,
         int32_t* bd = out_dist + t * k;
         for (int j = 0; j < k; ++j) { bi[j] = -1; bd[j] = 0x7FFF; }
         const uint64_t needle = needles[t];
-        for (int64_t i = 0; i < n; ++i) {
+        int64_t i = 0;
+#if defined(__AVX2__)
+        alignas(32) uint64_t dbuf[4];
+        for (; i + 4 <= n; i += 4) {
+            const __m256i h = _mm256_loadu_si256((const __m256i*)(hashes + i));
+            const __m256i vneedle = _mm256_set1_epi64x((int64_t)needle);
+            const __m256i d4 = popcount256_epi64(_mm256_xor_si256(h, vneedle));
+            const __m256i vbound = _mm256_set1_epi64x(bd[k - 1]);
+            const __m256i lt = _mm256_cmpgt_epi64(vbound, d4);
+            if (!_mm256_movemask_pd(_mm256_castsi256_pd(lt))) continue;
+            _mm256_store_si256((__m256i*)dbuf, d4);
+            for (int l = 0; l < 4; ++l) {
+                if (ids[i + l] == 0) continue;
+                const int d = (int)dbuf[l];
+                if (d < bd[k - 1]) {
+                    int j = k - 1;
+                    while (j > 0 && bd[j - 1] > d) {
+                        bd[j] = bd[j - 1];
+                        bi[j] = bi[j - 1];
+                        --j;
+                    }
+                    bd[j] = d;
+                    bi[j] = (int32_t)(i + l);
+                }
+            }
+        }
+#endif
+        for (; i < n; ++i) {
             if (ids[i] == 0) continue;
             const int d = popcount64(hashes[i] ^ needle);
             if (d < bd[k - 1]) {
@@ -181,11 +248,25 @@ EXPORT void cbird_hamming256_knn(const uint64_t* desc, const uint32_t* ids,
         int32_t* bd = out_dist + t * k;
         for (int j = 0; j < k; ++j) { bi[j] = -1; bd[j] = 0x7FFF; }
         const uint64_t* nd = needles + t * 4;
+#if defined(__AVX2__)
+        const __m256i vn = _mm256_loadu_si256((const __m256i*)nd);
+#endif
         for (int64_t i = 0; i < n; ++i) {
             if (ids[i] == 0) continue;
             const uint64_t* hd = desc + i * 4;
+#if defined(__AVX2__)
+            // one 256-bit row per vector: xor + nibble popcount + lane sum
+            const __m256i x = _mm256_xor_si256(
+                _mm256_loadu_si256((const __m256i*)hd), vn);
+            const __m256i c = popcount256_epi64(x);
+            const __m128i s = _mm_add_epi64(_mm256_castsi256_si128(c),
+                                            _mm256_extracti128_si256(c, 1));
+            const int d = (int)(_mm_cvtsi128_si64(s)
+                                + _mm_extract_epi64(s, 1));
+#else
             const int d = popcount64(hd[0] ^ nd[0]) + popcount64(hd[1] ^ nd[1])
                         + popcount64(hd[2] ^ nd[2]) + popcount64(hd[3] ^ nd[3]);
+#endif
             if (d < bd[k - 1]) {
                 int j = k - 1;
                 while (j > 0 && bd[j - 1] > d) {
