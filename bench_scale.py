@@ -122,6 +122,41 @@ def bench_video(n_videos=20_000, frames_per_video=500, needles=10):
           f"{dt * 1000:.0f} ms (per-video segment-min on device)")
 
 
+def bench_n2(n=500_000, dups=2_000):
+    """N² self-search at 500k with a realistic dup density (reference N²
+    thresh 5: 8.9 s, readme.md:276-280).  Uses the production two-phase
+    scan: fused count-below gate, then top-k sort only for dup needles."""
+    from cbird_tpu.index.dct_hash_index import DctHashIndex
+    from cbird_tpu.params import SearchParams
+    from cbird_tpu.store.media import Media
+    rng = np.random.default_rng(5)
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    # plant near-duplicate pairs (distance 1-3)
+    for j in range(dups):
+        src = rng.integers(0, n)
+        h = int(hashes[src])
+        for _ in range(int(rng.integers(1, 4))):
+            h ^= 1 << int(rng.integers(0, 64))
+        hashes[(src + 1) % n] = h
+    idx = DctHashIndex()
+    media = []
+    for i in range(n):
+        m = Media(f"/x/{i}.png", Media.TypeImage, 100, 100, f"m{i}")
+        m.id = i + 1
+        m.dctHash = np.uint64(hashes[i])
+        media.append(m)
+    idx.add(media)
+    sp = SearchParams()
+    needles = media
+    idx.find_batch(needles[:1024], sp)  # compile small shapes
+    t0 = time.perf_counter()
+    all_matches = idx.find_batch(needles, sp)
+    dt = time.perf_counter() - t0
+    groups = sum(1 for mm in all_matches if mm)
+    print(f"n2: 500k self-search thresh {sp.dctThresh} in {dt:.2f} s, "
+          f"{groups} needles matched (reference 8.9 s → {8.9 / dt:.1f}x)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["dct", "color", "orb", "fdct", "video"]
     for name in which:
