@@ -80,6 +80,7 @@ class _PackedDescStore:
 
     def _device(self):
         if self._dev is None:
+            from ..ops.hamming import _search_mesh
             n = max(len(self._ids), 1)
             b = max(1 << (n - 1).bit_length(), 1024)
             desc = np.zeros((b, 8), dtype=np.uint32)
@@ -87,7 +88,12 @@ class _PackedDescStore:
             if len(self._ids):
                 desc[:len(self._ids)] = self._desc
                 valid[:len(self._ids)] = self._ids != 0
-            self._dev = (jnp.asarray(desc), jnp.asarray(valid))
+            mesh = _search_mesh()
+            if mesh is not None:  # shard descriptor rows over the mesh
+                from ..parallel.sharded import shard_index_arrays
+                self._dev = shard_index_arrays(mesh, desc, valid)
+            else:
+                self._dev = (jnp.asarray(desc), jnp.asarray(valid))
         return self._dev
 
     def knn(self, needles: np.ndarray, k: int = KNN, needle_batch: int = 512):
@@ -105,8 +111,15 @@ class _PackedDescStore:
             qb = max(1 << (qn - 1).bit_length(), 64)
             if qn < qb:
                 nb = np.pad(nb, ((0, qb - qn), (0, 0)))
-            d, i = hamming_lanes_topk(jnp.asarray(nb), desc_d, valid_d,
-                                      k=min(k, len(self._ids)))
+            from ..ops.hamming import _search_mesh
+            mesh = _search_mesh()
+            if mesh is not None:
+                from ..parallel.sharded import sharded_lanes_topk
+                d, i = sharded_lanes_topk(mesh, jnp.asarray(nb), desc_d,
+                                          valid_d, k=min(k, len(self._ids)))
+            else:
+                d, i = hamming_lanes_topk(jnp.asarray(nb), desc_d, valid_d,
+                                          k=min(k, len(self._ids)))
             d, i = np.asarray(d)[:qn], np.asarray(i)[:qn]
             kk = d.shape[1]
             out_d[s:s + qn, :kk] = d

@@ -299,21 +299,11 @@ def _color_scores(n_colors, n_counts, h_colors, h_counts, h_valid):
     return jnp.where(reject, BAD_SCORE, score)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def color_topk(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
-               h_colors: jnp.ndarray, h_counts: jnp.ndarray,
-               h_valid: jnp.ndarray, k: int = 64, chunk: int = 4096):
-    """Asymmetric min-distance-sum color matching, batched.
-
-    n_colors [Q,32,3] f32 needle Luv, n_counts [Q] numColors
-    h_colors [N,32,3], h_counts [N], h_valid [N]
-    @return (scores [Q,k] f32 ascending, indices [Q,k] i32); BAD_SCORE = miss
-
-    The pairwise tensor is [Q,32,C,32] — materializing it for the whole
-    store would need >100 GB at 500k items, so the haystack is scanned in
-    ``chunk``-row blocks with a per-chunk top-k and one exact merge (same
-    streaming pattern as ops/hamming.hamming_topk; the reference's O(N)
-    CPU scan DNFs at this scale, readme.md:293)."""
+def color_topk_local(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
+                     h_colors: jnp.ndarray, h_counts: jnp.ndarray,
+                     h_valid: jnp.ndarray, k: int = 64, chunk: int = 4096):
+    """Traceable body of color_topk (also used inside shard_map for the
+    multi-chip path, parallel/sharded.py)."""
     q = n_colors.shape[0]
     n = h_colors.shape[0]
     k = min(k, n)
@@ -344,6 +334,25 @@ def color_topk(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
     is_ = jnp.moveaxis(is_, 0, 1).reshape(q, -1)
     neg, sel = jax.lax.top_k(-ds, k)
     return -neg, jnp.take_along_axis(is_, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def color_topk(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
+               h_colors: jnp.ndarray, h_counts: jnp.ndarray,
+               h_valid: jnp.ndarray, k: int = 64, chunk: int = 4096):
+    """Asymmetric min-distance-sum color matching, batched.
+
+    n_colors [Q,32,3] f32 needle Luv, n_counts [Q] numColors
+    h_colors [N,32,3], h_counts [N], h_valid [N]
+    @return (scores [Q,k] f32 ascending, indices [Q,k] i32); BAD_SCORE = miss
+
+    The pairwise tensor is [Q,32,C,32] — materializing it for the whole
+    store would need >100 GB at 500k items, so the haystack is scanned in
+    ``chunk``-row blocks with a per-chunk top-k and one exact merge (same
+    streaming pattern as ops/hamming.hamming_topk; the reference's O(N)
+    CPU scan DNFs at this scale, readme.md:293)."""
+    return color_topk_local(n_colors, n_counts, h_colors, h_counts, h_valid,
+                            k=k, chunk=chunk)
 
 
 class PackedColorStore:
@@ -405,8 +414,20 @@ class PackedColorStore:
                     self._descs[:, :NUM_COLORS, :3])
                 counts[:len(self._ids)] = self._descs[:, NUM_COLORS, 0]
                 valid[:len(self._ids)] = self._ids != 0
-            self._dev = (jnp.asarray(colors), jnp.asarray(counts),
-                         jnp.asarray(valid))
+            from .hamming import _search_mesh
+            mesh = _search_mesh()
+            if mesh is not None:  # shard descriptor rows over the mesh
+                from ..parallel.sharded import shard_index_arrays
+                idx_axis = mesh.axis_names[1]
+                import jax as _jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._dev = (
+                    _jax.device_put(colors, NamedSharding(mesh, P(idx_axis, None, None))),
+                    _jax.device_put(counts, NamedSharding(mesh, P(idx_axis))),
+                    _jax.device_put(valid, NamedSharding(mesh, P(idx_axis))))
+            else:
+                self._dev = (jnp.asarray(colors), jnp.asarray(counts),
+                             jnp.asarray(valid))
         return self._dev
 
     def search(self, needle_descs: Sequence[Optional[np.ndarray]], k: int = 64,
@@ -427,8 +448,16 @@ class PackedColorStore:
                 if dsc is not None:
                     ncol[n] = dequantize_luv(dsc[:NUM_COLORS, :3])
                     ncnt[n] = dsc[NUM_COLORS, 0]
-            scores, idx = color_topk(jnp.asarray(ncol), jnp.asarray(ncnt),
-                                     colors_d, counts_d, valid_d, k=k)
+            from .hamming import _search_mesh
+            mesh = _search_mesh()
+            if mesh is not None:
+                from ..parallel.sharded import sharded_color_topk
+                scores, idx = sharded_color_topk(
+                    mesh, jnp.asarray(ncol), jnp.asarray(ncnt),
+                    colors_d, counts_d, valid_d, k=k)
+            else:
+                scores, idx = color_topk(jnp.asarray(ncol), jnp.asarray(ncnt),
+                                         colors_d, counts_d, valid_d, k=k)
             scores = np.asarray(scores)
             idx = np.asarray(idx)
             for row in range(qb):

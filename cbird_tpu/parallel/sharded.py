@@ -159,9 +159,73 @@ def sharded_all_pairs_step(mesh: Mesh, needles: jnp.ndarray,
 def shard_index_arrays(mesh: Mesh, haystack: np.ndarray, valid: np.ndarray):
     """Place packed host arrays onto the mesh with index-axis sharding."""
     idx_axis = mesh.axis_names[1]
-    hs = jax.device_put(haystack, NamedSharding(mesh, P(idx_axis, None)))
+    hs = jax.device_put(haystack, NamedSharding(mesh, P(idx_axis, *(None,) * (haystack.ndim - 1))))
     vs = jax.device_put(valid, NamedSharding(mesh, P(idx_axis)))
     return hs, vs
+
+
+def _merge_gathered(local_d, local_i, axis_name):
+    """all_gather per-shard [Q,k] candidates over the index axis and take
+    the global top-k (shared tail of every sharded scan)."""
+    all_d = jax.lax.all_gather(local_d, axis_name)  # [S, Q, k]
+    all_i = jax.lax.all_gather(local_i, axis_name)
+    s, q, kk = all_d.shape
+    all_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kk)
+    all_i = jnp.moveaxis(all_i, 0, 1).reshape(q, s * kk)
+    neg, sel = jax.lax.top_k(-all_d, kk)
+    return -neg, jnp.take_along_axis(all_i, sel, axis=1)
+
+
+def sharded_lanes_topk(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
+                       valid: jnp.ndarray, k: int = 10):
+    """Multi-lane (e.g. 256-bit ORB descriptor) distributed knn: needles
+    [Q, L] u32 replicated, haystack [N, L] u32 sharded over ``index``."""
+    from ..ops.hamming import BAD_DIST as BAD, _chunk_dists_lanes
+    idx_axis = mesh.axis_names[1]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(idx_axis, None), P(idx_axis)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def run(n, h, v):
+        d = _chunk_dists_lanes(n, h)
+        d = jnp.where(v[None, :], d, BAD)
+        if h.shape[0] > 4096:
+            dk, ik = jax.lax.approx_min_k(d.astype(jnp.float32), k,
+                                          recall_target=0.99)
+            dk = dk.astype(jnp.int32)
+        else:
+            neg, ik = jax.lax.top_k(-d, min(k, h.shape[0]))
+            dk = -neg
+        ik = ik + jax.lax.axis_index(idx_axis) * h.shape[0]
+        out_d, out_i = _merge_gathered(dk, ik, idx_axis)
+        return out_d.astype(jnp.int32), out_i
+
+    return run(needles, haystack, valid)
+
+
+def sharded_color_topk(mesh: Mesh, n_colors: jnp.ndarray, n_counts: jnp.ndarray,
+                       h_colors: jnp.ndarray, h_counts: jnp.ndarray,
+                       h_valid: jnp.ndarray, k: int = 64):
+    """Distributed color descriptor scan: needle Luv/count replicated,
+    haystack arrays sharded over ``index``; per-shard chunked min-distance
+    scan + the same top-k all_gather merge."""
+    from ..ops.color import color_topk_local
+    idx_axis = mesh.axis_names[1]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(idx_axis, None, None), P(idx_axis), P(idx_axis)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def run(nc, nn, hc, hn, hv):
+        local_s, local_i = color_topk_local(nc, nn, hc, hn, hv,
+                                            k=min(k, hc.shape[0]))
+        local_i = local_i + jax.lax.axis_index(idx_axis) * hc.shape[0]
+        return _merge_gathered(local_s, local_i, idx_axis)
+
+    return run(n_colors, n_counts, h_colors, h_counts, h_valid)
 
 
 def sharded_count_below(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
