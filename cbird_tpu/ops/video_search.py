@@ -26,13 +26,13 @@ _FRAME_MASK = (1 << _FRAME_BITS) - 1
 _BIG = np.int32((65 << _FRAME_BITS) | _FRAME_MASK)
 
 
-@functools.partial(jax.jit, static_argnames=("num_videos", "chunk"))
-def frame_search(needles: jnp.ndarray, hashes: jnp.ndarray, vidx: jnp.ndarray,
-                 frame_no: jnp.ndarray, valid: jnp.ndarray, num_videos: int,
-                 chunk: int = 1 << 16):
-    """@param needles [Q,2] uint32; hashes [F,2] uint32; vidx [F] int32 video
-    index per frame; frame_no [F] int32; valid [F] bool
-    @return (min_dist [Q,V] int32 (65 = no match), min_frame [Q,V] int32)"""
+def frame_search_packed(needles: jnp.ndarray, hashes: jnp.ndarray,
+                        vidx: jnp.ndarray, frame_no: jnp.ndarray,
+                        valid: jnp.ndarray, num_videos: int,
+                        chunk: int = 1 << 16):
+    """Traceable body of frame_search returning the packed [Q, V]
+    (dist<<24 | frame) accumulator — the multi-chip path min-combines these
+    per-shard accumulators over ICI (parallel/sharded.py)."""
     q = needles.shape[0]
     f = hashes.shape[0]
     n_lo, n_hi = needles[:, 0], needles[:, 1]
@@ -62,6 +62,18 @@ def frame_search(needles: jnp.ndarray, hashes: jnp.ndarray, vidx: jnp.ndarray,
         return acc.at[:, v].min(combined), None
 
     acc, _ = jax.lax.scan(body, acc0, (hs, vs, fs, ok))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("num_videos", "chunk"))
+def frame_search(needles: jnp.ndarray, hashes: jnp.ndarray, vidx: jnp.ndarray,
+                 frame_no: jnp.ndarray, valid: jnp.ndarray, num_videos: int,
+                 chunk: int = 1 << 16):
+    """@param needles [Q,2] uint32; hashes [F,2] uint32; vidx [F] int32 video
+    index per frame; frame_no [F] int32; valid [F] bool
+    @return (min_dist [Q,V] int32 (65 = no match), min_frame [Q,V] int32)"""
+    acc = frame_search_packed(needles, hashes, vidx, frame_no, valid,
+                              num_videos, chunk)
     return acc >> _FRAME_BITS, acc & _FRAME_MASK
 
 
@@ -139,8 +151,18 @@ class PackedVideoStore:
                 frames[:n] = self._frames
                 alive = np.array([bool(m) for m in self._media_ids], bool)
                 valid[:n] = alive[self._vidx]
-            self._dev = (jnp.asarray(pairs), jnp.asarray(vidx),
-                         jnp.asarray(frames), jnp.asarray(valid), vb)
+            from .hamming import _search_mesh
+            mesh = _search_mesh()
+            if mesh is not None:  # shard frame rows over the mesh
+                import jax as _jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ia = mesh.axis_names[1]
+                put = lambda a, spec: _jax.device_put(a, NamedSharding(mesh, spec))
+                self._dev = (put(pairs, P(ia, None)), put(vidx, P(ia)),
+                             put(frames, P(ia)), put(valid, P(ia)), vb)
+            else:
+                self._dev = (jnp.asarray(pairs), jnp.asarray(vidx),
+                             jnp.asarray(frames), jnp.asarray(valid), vb)
         return self._dev
 
     def search(self, needle_hashes: np.ndarray, needle_batch: int = 256):
@@ -163,8 +185,16 @@ class PackedVideoStore:
             qb = max(1 << (qn - 1).bit_length(), 64)
             if qn < qb:
                 nb = np.pad(nb, ((0, qb - qn), (0, 0)))
-            d, fr = frame_search(jnp.asarray(nb), pairs, vidx, frames, valid,
-                                 num_videos=vb)
+            from .hamming import _search_mesh
+            mesh = _search_mesh()
+            if mesh is not None:
+                from ..parallel.sharded import sharded_frame_search
+                d, fr = sharded_frame_search(mesh, jnp.asarray(nb), pairs,
+                                             vidx, frames, valid,
+                                             num_videos=vb)
+            else:
+                d, fr = frame_search(jnp.asarray(nb), pairs, vidx, frames,
+                                     valid, num_videos=vb)
             out_d[s:s + qn] = np.asarray(d)[:qn, :v]
             out_f[s:s + qn] = np.asarray(fr)[:qn, :v]
         return out_d, out_f

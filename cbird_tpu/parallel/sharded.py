@@ -228,6 +228,32 @@ def sharded_color_topk(mesh: Mesh, n_colors: jnp.ndarray, n_counts: jnp.ndarray,
     return run(n_colors, n_counts, h_colors, h_counts, h_valid)
 
 
+def sharded_frame_search(mesh: Mesh, needles: jnp.ndarray, hashes: jnp.ndarray,
+                         vidx: jnp.ndarray, frame_no: jnp.ndarray,
+                         valid: jnp.ndarray, num_videos: int,
+                         chunk: int = 1 << 16):
+    """Distributed per-video segment-min (video index, algo 4): frame rows
+    sharded over ``index`` (video ids stay global), each shard reduces its
+    frames into a packed [Q, V] (dist<<24|frame) accumulator, then one
+    pmin over ICI combines — distance dominates the packing so the min
+    carries the nearest frame along."""
+    from ..ops.video_search import _FRAME_BITS, _FRAME_MASK, frame_search_packed
+    idx_axis = mesh.axis_names[1]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(idx_axis, None), P(idx_axis), P(idx_axis), P(idx_axis)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def run(n, h, v, fr, o):
+        acc = frame_search_packed(n, h, v, fr, o, num_videos,
+                                  min(chunk, h.shape[0]))
+        acc = jax.lax.pmin(acc, idx_axis)
+        return acc >> _FRAME_BITS, acc & _FRAME_MASK
+
+    return run(needles, hashes, vidx, frame_no, valid)
+
+
 def sharded_count_below(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
                         valid: jnp.ndarray, threshold):
     """Distributed count-below-threshold: each shard reduces its slice, one
