@@ -128,12 +128,30 @@ import contextlib
 @contextlib.contextmanager
 def profile_stage(name: str):
     """Per-stage wall-time logging, enabled by CBIRD_PROFILE=1 (the
-    reference's ad-hoc nanoTime() stage percentages, SURVEY.md §5)."""
-    if not os.environ.get("CBIRD_PROFILE"):
+    reference's ad-hoc nanoTime() stage percentages, SURVEY.md §5).
+    CBIRD_JAX_PROFILE=<dir> additionally captures a device trace per stage
+    (viewable in TensorBoard / Perfetto)."""
+    trace_dir = os.environ.get("CBIRD_JAX_PROFILE")
+    if not os.environ.get("CBIRD_PROFILE") and not trace_dir:
         yield
         return
+    ctx = None
+    if trace_dir:
+        try:
+            import jax
+            ctx = jax.profiler.trace(os.path.join(
+                trace_dir, name.split()[0].replace("=", "_")))
+            ctx.__enter__()
+        except Exception:  # noqa: BLE001 — profiling must never break a run
+            ctx = None
     t0 = time.monotonic()
     try:
         yield
     finally:
-        info(f"[profile] {name}: {(time.monotonic() - t0) * 1000:.1f} ms")
+        if ctx is not None:
+            try:
+                ctx.__exit__(None, None, None)
+            except Exception:  # noqa: BLE001
+                pass
+        if os.environ.get("CBIRD_PROFILE"):
+            info(f"[profile] {name}: {(time.monotonic() - t0) * 1000:.1f} ms")
