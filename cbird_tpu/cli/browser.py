@@ -58,6 +58,20 @@ async function act(action, id, other) {
   if (r.error) alert(r.error); else load(page);
 }
 async function quit() { await api('/api/quit', {}); document.body.innerHTML = '<h1>bye</h1>'; }
+async function updateIndex() {
+  const b = document.getElementById('upd');
+  const r = await api('/api/update', {});
+  if (r.error) { alert(r.error); return; }
+  b.disabled = true; b.textContent = 'Updating...';
+  const poll = setInterval(async () => {
+    const st = await api('/api/update_status');
+    if (st.state === 'done') {
+      clearInterval(poll);
+      b.disabled = false; b.textContent = 'Update index';
+      alert('update: ' + JSON.stringify(st.result));
+    }
+  }, 1000);
+}
 async function load(p) {
   const d = await api('/api/groups?page=' + p);
   page = d.page;
@@ -109,6 +123,7 @@ def _page_html(title: str) -> str:
 <button id='prev' onclick='load(page-1)'>&laquo; prev</button>
 <button id='next' onclick='load(page+1)'>next &raquo;</button>
 <button onclick='quit()' style='float:right'>Quit</button>
+<button id='upd' onclick='updateIndex()' style='float:right'>Update index</button>
 </nav>
 <div id='groups'></div>
 <script>{_PAGE_JS}</script></body></html>"""
@@ -144,8 +159,11 @@ class BrowserState:
     """Mutable view of the result list shared between requests."""
 
     def __init__(self, db, groups: MediaGroupList, title: str,
-                 max_per_page: int = 12):
+                 max_per_page: int = 12, engine=None):
         self.db = db
+        self.engine = engine
+        self.update_thread: threading.Thread | None = None
+        self.update_result: dict | None = None
         self.groups = [list(g) for g in groups if g]
         self.title = title
         self.max_per_page = max(1, max_per_page)
@@ -218,6 +236,34 @@ class BrowserState:
             return "unknown media id"
         self.db.unweed(m)
         return None
+
+    def start_update(self) -> str | None:
+        """Kick an incremental -update in a worker thread (the headless
+        equivalent of the reference's -test-update start/stop dialog,
+        src/commands.cpp:1130-1171)."""
+        if self.engine is None:
+            return "no engine attached (read-only browse)"
+        with self.lock:
+            if self.update_thread is not None and self.update_thread.is_alive():
+                return "update already running"
+            self.update_result = None
+
+            def work():
+                try:
+                    self.update_result = self.engine.update()
+                except Exception as e:  # noqa: BLE001 — surfaced via status
+                    self.update_result = {"error": str(e)}
+
+            self.update_thread = threading.Thread(target=work, daemon=True)
+            self.update_thread.start()
+        return None
+
+    def update_status(self) -> dict:
+        if self.update_thread is None:
+            return {"state": "idle"}
+        if self.update_thread.is_alive():
+            return {"state": "running"}
+        return {"state": "done", "result": self.update_result}
 
     def negative(self, mid: int, other_id: int) -> str | None:
         a, b = self.media(mid), self.media(other_id)
@@ -313,6 +359,10 @@ class _Handler(BaseHTTPRequestHandler):
             err = s.unweed(mid)
         elif url.path == "/api/negative":
             err = s.negative(mid, other)
+        elif url.path == "/api/update":
+            err = s.start_update()
+        elif url.path == "/api/update_status":
+            return self._json(s.update_status())
         elif url.path == "/api/quit":
             self._json({"ok": True})
             threading.Thread(target=self.server.shutdown, daemon=True).start()
@@ -325,14 +375,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve_browser(db, groups: MediaGroupList, title: str = "cbird results",
                   host: str = "127.0.0.1", port: int = 0,
-                  max_per_page: int = 12, block: bool = True):
+                  max_per_page: int = 12, block: bool = True, engine=None):
     """Start the browser server.  With block=True (CLI -browse) runs until
     Quit; otherwise returns (server, thread, url) for embedding/tests."""
     if not groups:
         warn("browse: empty result, nothing to show")
         return None
     handler = type("BoundHandler", (_Handler,), {
-        "state": BrowserState(db, groups, title, max_per_page),
+        "state": BrowserState(db, groups, title, max_per_page, engine=engine),
         "thumbs": {},
     })
     server = ThreadingHTTPServer((host, port), handler)

@@ -608,7 +608,8 @@ complete -F _cbird_complete cbird""")
                           transform_groups(self.result, self._show_mode),
                           title=f"cbird {self.index_dir}",
                           port=int(os.environ.get("CBIRD_BROWSER_PORT", "0")),
-                          max_per_page=self._max_per_page)
+                          max_per_page=self._max_per_page,
+                          engine=self.engine())
             return i + 1
         if a in ("-test-csv", "-simtest"):  # -simtest: legacy usage.txt name
             from .testcsv import run_test_csv

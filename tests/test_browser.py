@@ -139,3 +139,41 @@ def test_transform_groups():
     folders = transform_groups(groups, "folders")
     assert [len(g) for g in folders] == [3, 1]
     assert transform_groups(groups, "normal") == groups
+
+
+def test_browser_update(tmp_path, monkeypatch):
+    """Update button: kicks engine.update() in a worker, reports stats
+    (headless -test-update equivalent)."""
+    import time
+    root = str(tmp_path / "idx2")
+    os.makedirs(root)
+    rng = np.random.default_rng(7)
+    Image.fromarray(synth_image(rng, 120, 160)).save(os.path.join(root, "a.png"))
+    assert main(["-use", root, "-i.algos", "dct", "-i.fsize", "16",
+                 "-create", "-update"]) == 0
+    from cbird_tpu.host.engine import Engine
+    from cbird_tpu.params import IndexParams
+    from cbird_tpu.cli.browser import serve_browser
+    params = IndexParams()
+    params.algos = 1
+    params.minFileSize = 16
+    eng = Engine(root, params)
+    groups = [[m] for m in eng.db.all_media()]
+    server, thread, url = serve_browser(eng.db, groups, block=False, engine=eng)
+    try:
+        # drop a new file, update through the API
+        Image.fromarray(synth_image(rng, 120, 160)).save(os.path.join(root, "b.png"))
+        status, resp = _post(url + "api/update", {})
+        assert status == 200, resp
+        for _ in range(120):
+            status, st = _post(url + "api/update_status", {})
+            if st["state"] == "done":
+                break
+            time.sleep(0.5)
+        assert st["state"] == "done", st
+        assert st["result"]["added"] == 1, st
+        assert eng.db.count() == 2
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+        eng.db.close()
