@@ -333,6 +333,8 @@ def property_func(expr: str) -> Callable[[Media], Any]:
 
     def run(m: Media) -> Any:
         v = getter(m)
+        if v is None:  # null metadata value stays null through the chain
+            return None
         for f, fargs in chain:
             v = f(v, *fargs)
         return v

@@ -237,9 +237,11 @@ def read_ffmeta(path: str, keys: list[str]) -> list[Optional[str]]:
 
 
 def lookup(path: str, field: str, keys: list[str],
-           use_cache: bool = True) -> str:
+           use_cache: bool = True) -> Optional[str]:
     """First non-empty value among ``keys``; thread-safe per-path cache
-    like the reference propCache (media.cpp:772-793)."""
+    like the reference propCache (media.cpp:772-793).  Returns None when no
+    key exists — the reference's null QVariant, so ``%null`` filter terms
+    distinguish missing tags from empty ones."""
     cache_key = f"{path}:{field}{','.join(keys)}"
     if use_cache:
         with _cache_lock:
@@ -249,7 +251,7 @@ def lookup(path: str, field: str, keys: list[str],
         vals = read_ffmeta(path, keys)
     else:
         vals = read_embedded(path, keys, field)
-    result = next((v for v in vals if v), "")
+    result = next((v for v in vals if v), None)
     if use_cache:
         with _cache_lock:
             _cache[cache_key] = result

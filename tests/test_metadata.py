@@ -116,8 +116,8 @@ def test_property_grammar(meta_jpeg):
     assert property_func("iptc#Iptc.Application2.Headline#upper")(m) == \
         "BIG HEADLINE"
     assert property_func("xmp#Xmp.dc.subject")(m) == "kittens"
-    # missing tags give "" (sortable/filterable)
-    assert property_func("exif#Exif.Image.Nope")(m) == ""
+    # missing tags are null (reference: null QVariant → %null matches)
+    assert property_func("exif#Exif.Image.Nope")(m) is None
     with pytest.raises(ValueError):
         property_func("exif")  # key list required
 
@@ -143,3 +143,17 @@ def test_cli_with_exif_filter(meta_jpeg, tmp_path, capsys):
                "-with", "exif#Exif.Image.Model", "~TestCam", "-count"])
     assert rc == 0
     assert "1 items" in capsys.readouterr().out
+
+
+def test_null_vs_empty_metadata(meta_jpeg, tmp_path):
+    """%null matches files whose tag is absent (src/commands.cpp:191-197)."""
+    from cbird_tpu.cli.commands import compile_filter
+    m_tagged = Media(meta_jpeg, Media.TypeImage, 64, 48, "x")
+    p = str(tmp_path / "plain.png")
+    Image.fromarray(np.full((20, 20), 50, np.uint8)).save(p)
+    m_plain = Media(p, Media.TypeImage, 20, 20, "y")
+    pred = compile_filter("exif#Exif.Image.Model", "%null")
+    assert pred(m_plain, None)
+    assert not pred(m_tagged, None)
+    pred = compile_filter("exif#Exif.Image.Model", "!%null")
+    assert pred(m_tagged, None)
