@@ -49,6 +49,10 @@ h1 { font-size:1.2em; }
 
 _PAGE_JS = """
 let page = 0;
+function esc(s) {
+  return String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
+                  .replace(/>/g,'&gt;').replace(/"/g,'&quot;');
+}
 async function api(path, body) {
   const r = await fetch(path, body ? {method:'POST', body: JSON.stringify(body)} : {});
   return r.json();
@@ -93,7 +97,7 @@ async function load(p) {
       it.innerHTML =
         '<a href="/file/' + m.id + '" target="_blank">' +
         '<img loading="lazy" src="/thumb/' + m.id + '"></a>' +
-        '<div class="meta">' + m.name + '<br>' + m.dims +
+        '<div class="meta">' + esc(m.name) + '<br>' + esc(m.dims) +
         (m.score>=0 ? ' <span class="score">score ' + m.score + '</span>' : '') +
         (m.range ? ' ' + m.range : '') + (m.weed ? ' WEED' : '') + '</div>' +
         (m.removed ? '<i>removed</i>' :
@@ -299,6 +303,8 @@ class _Handler(BaseHTTPRequestHandler):
             q = parse_qs(url.query)
             page = int(q.get("page", ["0"])[0])
             self._json(self.state.page_payload(page))
+        elif url.path == "/api/update_status":
+            self._json(self.state.update_status())
         elif url.path.startswith("/file/"):
             # full-size original (headless analog of DesktopHelper::open)
             try:

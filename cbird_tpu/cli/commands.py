@@ -147,13 +147,15 @@ def _expand_templates(name: str, m: Media) -> str:
             arg, funcs = body.split(":", 1)
             fake = Media(arg)
             try:
-                return str(property_func("path#" + funcs.replace(":", "#"))(fake))
+                v = property_func("path#" + funcs.replace(":", "#"))(fake)
             except ValueError:
                 return match.group(0)
+            return "" if v is None else str(v)
         try:
-            return str(property_func(body)(m))
+            v = property_func(body)(m)
         except ValueError:
             return match.group(0)
+        return "" if v is None else str(v)  # null metadata expands empty
     return re.sub(r"\{([^{}]+)\}", sub, name)
 
 

@@ -80,15 +80,15 @@ class _PackedDescStore:
 
     def _device(self):
         if self._dev is None:
-            from ..ops.hamming import _search_mesh
-            n = max(len(self._ids), 1)
-            b = max(1 << (n - 1).bit_length(), 1024)
+            from ..ops.hamming import _bucket, _search_mesh
+            mesh = _search_mesh()
+            shards = mesh.devices.shape[1] if mesh is not None else 1
+            b = _bucket(max(len(self._ids), 1), multiple=shards)
             desc = np.zeros((b, 8), dtype=np.uint32)
             valid = np.zeros(b, dtype=bool)
             if len(self._ids):
                 desc[:len(self._ids)] = self._desc
                 valid[:len(self._ids)] = self._ids != 0
-            mesh = _search_mesh()
             if mesh is not None:  # shard descriptor rows over the mesh
                 from ..parallel.sharded import shard_index_arrays
                 self._dev = shard_index_arrays(mesh, desc, valid)

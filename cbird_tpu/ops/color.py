@@ -403,9 +403,10 @@ class PackedColorStore:
 
     def _device(self):
         if self._dev is None:
-            n = max(len(self._ids), 1)
-            b = 1 << (n - 1).bit_length()
-            b = max(b, 64)
+            from .hamming import _bucket, _search_mesh
+            mesh = _search_mesh()
+            shards = mesh.devices.shape[1] if mesh is not None else 1
+            b = _bucket(max(len(self._ids), 1), minimum=64, multiple=shards)
             colors = np.zeros((b, NUM_COLORS, 3), dtype=np.float32)
             counts = np.zeros(b, dtype=np.int32)
             valid = np.zeros(b, dtype=bool)
@@ -414,17 +415,9 @@ class PackedColorStore:
                     self._descs[:, :NUM_COLORS, :3])
                 counts[:len(self._ids)] = self._descs[:, NUM_COLORS, 0]
                 valid[:len(self._ids)] = self._ids != 0
-            from .hamming import _search_mesh
-            mesh = _search_mesh()
             if mesh is not None:  # shard descriptor rows over the mesh
-                from ..parallel.sharded import shard_index_arrays
-                idx_axis = mesh.axis_names[1]
-                import jax as _jax
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                self._dev = (
-                    _jax.device_put(colors, NamedSharding(mesh, P(idx_axis, None, None))),
-                    _jax.device_put(counts, NamedSharding(mesh, P(idx_axis))),
-                    _jax.device_put(valid, NamedSharding(mesh, P(idx_axis))))
+                from ..parallel.sharded import shard_rows
+                self._dev = shard_rows(mesh, colors, counts, valid)
             else:
                 self._dev = (jnp.asarray(colors), jnp.asarray(counts),
                              jnp.asarray(valid))

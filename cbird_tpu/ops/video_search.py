@@ -135,9 +135,11 @@ class PackedVideoStore:
     def _device(self):
         if self._dev is None:
             from .dct_hash import split_u64
+            from .hamming import _bucket, _search_mesh
             self._consolidate()
-            f = max(len(self._hashes), 1)
-            fb = max(1 << (f - 1).bit_length(), 1024)
+            mesh = _search_mesh()
+            shards = mesh.devices.shape[1] if mesh is not None else 1
+            fb = _bucket(max(len(self._hashes), 1), multiple=shards)
             v = max(len(self._media_ids), 1)
             vb = max(1 << (v - 1).bit_length(), 16)
             pairs = np.zeros((fb, 2), np.uint32)
@@ -151,15 +153,9 @@ class PackedVideoStore:
                 frames[:n] = self._frames
                 alive = np.array([bool(m) for m in self._media_ids], bool)
                 valid[:n] = alive[self._vidx]
-            from .hamming import _search_mesh
-            mesh = _search_mesh()
             if mesh is not None:  # shard frame rows over the mesh
-                import jax as _jax
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                ia = mesh.axis_names[1]
-                put = lambda a, spec: _jax.device_put(a, NamedSharding(mesh, spec))
-                self._dev = (put(pairs, P(ia, None)), put(vidx, P(ia)),
-                             put(frames, P(ia)), put(valid, P(ia)), vb)
+                from ..parallel.sharded import shard_rows
+                self._dev = shard_rows(mesh, pairs, vidx, frames, valid) + (vb,)
             else:
                 self._dev = (jnp.asarray(pairs), jnp.asarray(vidx),
                              jnp.asarray(frames), jnp.asarray(valid), vb)

@@ -114,16 +114,9 @@ def sharded_hamming_topk(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray
         check_vma=False)
     def run(n, h, v):
         local_d, local_i = _local_topk(n, h, v, k)
-        shard = jax.lax.axis_index(idx_axis)
-        local_i = local_i + shard * h.shape[0]
+        local_i = local_i + jax.lax.axis_index(idx_axis) * h.shape[0]
         # merge the per-shard candidate sets (k·S values/needle over ICI)
-        all_d = jax.lax.all_gather(local_d, idx_axis)  # [S, Q, k]
-        all_i = jax.lax.all_gather(local_i, idx_axis)
-        s, q, kk = all_d.shape
-        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kk)
-        all_i = jnp.moveaxis(all_i, 0, 1).reshape(q, s * kk)
-        neg, sel = jax.lax.top_k(-all_d, kk)
-        return -neg, jnp.take_along_axis(all_i, sel, axis=1)
+        return _merge_gathered(local_d, local_i, idx_axis)
 
     return run(needles, haystack, valid)
 
@@ -143,25 +136,30 @@ def sharded_all_pairs_step(mesh: Mesh, needles: jnp.ndarray,
         check_vma=False)
     def run(n, h, v):
         local_d, local_i = _local_topk(n, h, v, k)
-        shard = jax.lax.axis_index(i_axis)
-        local_i = local_i + shard * h.shape[0]
-        all_d = jax.lax.all_gather(local_d, i_axis)
-        all_i = jax.lax.all_gather(local_i, i_axis)
-        s, q, kk = all_d.shape
-        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kk)
-        all_i = jnp.moveaxis(all_i, 0, 1).reshape(q, s * kk)
-        neg, sel = jax.lax.top_k(-all_d, kk)
-        return -neg, jnp.take_along_axis(all_i, sel, axis=1)
+        local_i = local_i + jax.lax.axis_index(i_axis) * h.shape[0]
+        return _merge_gathered(local_d, local_i, i_axis)
 
     return run(needles, haystack, valid)
 
 
+def shard_rows(mesh: Mesh, *arrays):
+    """device_put each array sharded along axis 0 over the ``index`` axis
+    (row counts must be divisible by the index-axis size — stores guarantee
+    this by bucketing with _bucket(multiple=shards))."""
+    idx_axis = mesh.axis_names[1]
+    return tuple(
+        jax.device_put(a, NamedSharding(
+            mesh, P(idx_axis, *(None,) * (np.ndim(a) - 1))))
+        for a in arrays)
+
+
+def index_shards(mesh: Mesh) -> int:
+    return mesh.devices.shape[1]
+
+
 def shard_index_arrays(mesh: Mesh, haystack: np.ndarray, valid: np.ndarray):
     """Place packed host arrays onto the mesh with index-axis sharding."""
-    idx_axis = mesh.axis_names[1]
-    hs = jax.device_put(haystack, NamedSharding(mesh, P(idx_axis, *(None,) * (haystack.ndim - 1))))
-    vs = jax.device_put(valid, NamedSharding(mesh, P(idx_axis)))
-    return hs, vs
+    return shard_rows(mesh, haystack, valid)
 
 
 def _merge_gathered(local_d, local_i, axis_name):

@@ -344,6 +344,8 @@ def property_func(expr: str) -> Callable[[Media], Any]:
 
 def _sort_key(value: Any):
     # numeric-aware ("natural") sort comparable across str/num
+    if value is None:
+        return (-1, 0, "")  # null (missing metadata) sorts first
     if isinstance(value, bool):
         return (0, int(value), "")
     if isinstance(value, (int, float)):

@@ -58,9 +58,9 @@ def _pack_offsets(frames: np.ndarray) -> bytes:
     prev = 0
     for f in frames[1:].tolist():
         off = f - prev
-        prev = f
         if off < 1:
             raise ValueError(f"non-sequential frame number {f} after {prev}")
+        prev = f
         while True:
             group = off & 0x7F
             off >>= 7
@@ -264,7 +264,16 @@ def migrate(media_ids: list[tuple[int, str]], video_root: str,
             tmp = os.path.join(tempfile.gettempdir(), "cbird-dryrun.vdx")
         else:
             tmp = os.path.join(video_root, f"migrate-{mid}.vdx")
-        save_vdx(tmp, v1)
+        try:
+            save_vdx(tmp, v1)
+        except ValueError:
+            # e.g. duplicate frame numbers that slip past the v1 repairs —
+            # treat like any other unreadable file: drop and move on
+            warn(f"removing file with errors: {path}")
+            if not dry_run:
+                os.remove(path)
+                removed += 1
+            continue
         if not is_valid_vdx(tmp):
             raise RuntimeError("aborting: invalid file after conversion")
         v2 = load_vdx(tmp)

@@ -165,6 +165,9 @@ def test_browser_update(tmp_path, monkeypatch):
         Image.fromarray(synth_image(rng, 120, 160)).save(os.path.join(root, "b.png"))
         status, resp = _post(url + "api/update", {})
         assert status == 200, resp
+        # the page JS polls status with GET — must work without a body
+        status, body = _get(url + "api/update_status")
+        assert status == 200 and json.loads(body)["state"] in ("running", "done")
         for _ in range(120):
             status, st = _post(url + "api/update_status", {})
             if st["state"] == "done":
