@@ -22,6 +22,7 @@ from __future__ import annotations
 import base64
 import html
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -45,6 +46,11 @@ button { background:#39394a; color:#ddd; border:1px solid #555;
 button:hover { background:#4a4a61; }
 nav button { font-size:1em; padding:.3em .8em; }
 h1 { font-size:1.2em; }
+#overlay { background:#15151a; border:1px solid #666; border-radius:8px;
+           padding:1em; margin:1em 0; }
+.cmp { display:flex; gap:8px; align-items:flex-start; margin:.5em 0;
+       flex-wrap:wrap; }
+.cmp img { max-width:320px; }
 """
 
 _PAGE_JS = """
@@ -62,6 +68,21 @@ async function act(action, id, other) {
   if (r.error) alert(r.error); else load(page);
 }
 async function quit() { await api('/api/quit', {}); document.body.innerHTML = '<h1>bye</h1>'; }
+async function compare(a, b) {
+  const d = await api('/api/compare?a=' + a + '&b=' + b);
+  if (d.error) { alert(d.error); return; }
+  const ov = document.getElementById('overlay');
+  ov.style.display = 'block';
+  let rows = '<h2>aligned frames (offset ' + d.offset + ')' +
+    ' <button onclick="document.getElementById(\\'overlay\\').style.display=\\'none\\'">close</button></h2>';
+  for (const p of d.pairs) {
+    rows += '<div class="cmp"><img src="/vframe/' + a + '/' + p.a_frame + '">' +
+            '<img src="/vframe/' + b + '/' + p.b_frame + '">' +
+            '<div class="meta">A ' + p.a_frame + ' / B ' + p.b_frame +
+            ' (distance ' + p.dist + ')</div></div>';
+  }
+  ov.innerHTML = rows;
+}
 async function updateIndex() {
   const b = document.getElementById('upd');
   const r = await api('/api/update', {});
@@ -103,7 +124,9 @@ async function load(p) {
         (m.removed ? '<i>removed</i>' :
          '<button onclick="act(\\'delete\\',' + m.id + ')">delete</button>' +
          (j>0 ? '<button onclick="act(\\'weed\\',' + m.id + ',' + needleId + ')">weed</button>' +
-                '<button onclick="act(\\'negative\\',' + m.id + ',' + needleId + ')">not a match</button>'
+                '<button onclick="act(\\'negative\\',' + m.id + ',' + needleId + ')">not a match</button>' +
+                (m.video && g.items[0].video ?
+                 '<button onclick="compare(' + needleId + ',' + m.id + ')">compare</button>' : '')
               : '') +
          (m.weed ? '<button onclick="act(\\'unweed\\',' + m.id + ')">unweed</button>' : ''));
       row.appendChild(it);
@@ -129,6 +152,7 @@ def _page_html(title: str) -> str:
 <button onclick='quit()' style='float:right'>Quit</button>
 <button id='upd' onclick='updateIndex()' style='float:right'>Update index</button>
 </nav>
+<div id='overlay' style='display:none'></div>
 <div id='groups'></div>
 <script>{_PAGE_JS}</script></body></html>"""
 
@@ -206,6 +230,7 @@ class BrowserState:
                     "range": rng,
                     "weed": bool(self.db.is_weed(m)),
                     "removed": m.id in self.removed,
+                    "video": m.type == Media.TypeVideo,
                 })
             out.append({"index": n, "items": items})
         return {"title": self.title, "page": page, "pages": self.pages(),
@@ -240,6 +265,41 @@ class BrowserState:
             return "unknown media id"
         self.db.unweed(m)
         return None
+
+    def _video_index_of(self, m: Media):
+        if m.videoIndex is not None and not m.videoIndex.is_empty():
+            return m.videoIndex
+        try:
+            from ..store.vdx import load_vdx
+            return load_vdx(os.path.join(self.db.video_path(), f"{m.id}.vdx"))
+        except (OSError, ValueError, AttributeError):
+            return None
+
+    def compare(self, a_id: int, b_id: int):
+        """Temporal alignment of two indexed videos from their stored hash
+        sequences (headless VideoCompareWidget,
+        reference src/gui/videocomparewidget.cpp): probe frames of A matched
+        to their nearest hash in B.  @return dict or error string"""
+        import numpy as np
+
+        from ..ops.ref_numpy import hamming64
+        a, b = self.media(a_id), self.media(b_id)
+        if a is None or b is None:
+            return "unknown media id"
+        ia, ib = self._video_index_of(a), self._video_index_of(b)
+        if ia is None or ib is None or ia.is_empty() or ib.is_empty():
+            return "not an indexed video pair"
+        pairs = []
+        step = max(1, len(ia.frames) // 9)
+        for k in range(0, len(ia.frames), step):
+            ha = int(ia.hashes[k])
+            dists = [hamming64(ha, int(h)) for h in ib.hashes]
+            j = int(np.argmin(dists))
+            pairs.append({"a_frame": int(ia.frames[k]),
+                          "b_frame": int(ib.frames[j]),
+                          "dist": int(dists[j])})
+        offset = int(np.median([p["b_frame"] - p["a_frame"] for p in pairs]))
+        return {"a": a_id, "b": b_id, "offset": offset, "pairs": pairs}
 
     def start_update(self) -> str | None:
         """Kick an incremental -update in a worker thread (the headless
@@ -305,6 +365,38 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(self.state.page_payload(page))
         elif url.path == "/api/update_status":
             self._json(self.state.update_status())
+        elif url.path == "/api/compare":
+            q = parse_qs(url.query)
+            try:
+                a = int(q.get("a", ["0"])[0])
+                b = int(q.get("b", ["0"])[0])
+            except ValueError:
+                return self._json({"error": "bad ids"}, 400)
+            out = self.state.compare(a, b)
+            if isinstance(out, str):
+                return self._json({"error": out}, 400)
+            self._json(out)
+        elif url.path.startswith("/vframe/"):
+            # one decoded video frame: /vframe/<media id>/<frame no>
+            parts = url.path.split("/")
+            try:
+                mid, frame_no = int(parts[2]), int(parts[3])
+            except (IndexError, ValueError):
+                return self._send(404, b"bad vframe", "text/plain")
+            m = self.state.media(mid)
+            if m is None:
+                return self._send(404, b"no media", "text/plain")
+            import io as _io
+
+            from PIL import Image
+
+            from ..host.video import grab_frame
+            frame = grab_frame(m.path, frame_no, max_side=512)
+            if frame is None:
+                return self._send(404, b"no frame", "text/plain")
+            buf = _io.BytesIO()
+            Image.fromarray(frame).convert("RGB").save(buf, "JPEG", quality=80)
+            self._send(200, buf.getvalue(), "image/jpeg")
         elif url.path.startswith("/file/"):
             # full-size original (headless analog of DesktopHelper::open)
             try:

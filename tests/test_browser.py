@@ -180,3 +180,41 @@ def test_browser_update(tmp_path, monkeypatch):
         server.shutdown()
         thread.join(timeout=5)
         eng.db.close()
+
+
+def test_browser_video_compare(tmp_path):
+    """Compare endpoint aligns two indexed videos from their .vdx hashes
+    and /vframe serves decoded frames (VideoCompareWidget analog)."""
+    from cbird_tpu.host.video import FseqBackend
+    from test_video import make_frames
+    root = str(tmp_path / "v")
+    os.makedirs(root)
+    full = make_frames(80, seed=3)
+    FseqBackend.save(os.path.join(root, "full.fseq"), full, 10.0)
+    FseqBackend.save(os.path.join(root, "clip.fseq"), full[30:70].copy(), 10.0)
+    assert main(["-use", root, "-i.algos", "dct+video", "-i.fsize", "16",
+                 "-create", "-update"]) == 0
+    from cbird_tpu.host.engine import Engine
+    from cbird_tpu.params import IndexParams
+    from cbird_tpu.cli.browser import serve_browser
+    eng = Engine(root, IndexParams())
+    groups = [eng.db.all_media()]
+    server, thread, url = serve_browser(eng.db, groups, block=False)
+    try:
+        a = eng.db.media_with_path(os.path.join(root, "clip.fseq")).id
+        b = eng.db.media_with_path(os.path.join(root, "full.fseq")).id
+        status, body = _get(url + f"api/compare?a={a}&b={b}")
+        assert status == 200
+        d = json.loads(body)
+        assert 25 <= d["offset"] <= 35, d  # clip starts 30 frames in
+        assert d["pairs"] and all(p["dist"] <= 8 for p in d["pairs"][:3]), d
+        p = d["pairs"][0]
+        status, img = _get(url + f"vframe/{a}/{p['a_frame']}")
+        assert status == 200 and img[:2] == b"\xff\xd8"
+        # payload marks videos so the UI shows the compare button
+        _, gb = _get(url + "api/groups?page=0")
+        assert all(it["video"] for it in json.loads(gb)["groups"][0]["items"])
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+        eng.db.close()
