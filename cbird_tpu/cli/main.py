@@ -139,6 +139,7 @@ class Cli:
         self._engine = None
         self._max_per_page = 12  # reference default (src/main.cpp:1671-1719)
         self._show_mode = "normal"  # -sets → pairs, -folders → folders
+        self._sort_chain: list[tuple[str, bool]] = []  # multisort keys
 
     # lazy engine (reference lazy global Engine&, src/main.cpp:540-559)
     def engine(self):
@@ -547,9 +548,17 @@ complete -F _cbird_complete cbird""")
             prop = self._need(args, i, "a property")
             rev = a.endswith("-rev") or prop.startswith("^")
             prop = prop.lstrip("^")
+            # multisort: another -sort immediately after adds a SECONDARY
+            # key (reference usage.txt:88-91) — accumulate and re-apply as
+            # stable sorts from least- to most-significant key
+            if i >= 2 and args[i - 2] in ("-sort", "-sort-rev"):
+                self._sort_chain.append((prop, rev))
+            else:
+                self._sort_chain = [(prop, rev)]
             if self.selection:
                 from ..store.media import sort_group
-                sort_group(self.selection, [prop], reverse=rev)
+                for p, r in reversed(self._sort_chain):
+                    sort_group(self.selection, [p], reverse=r)
                 self.result = [self.selection]
             else:
                 sort_group_list(self.result, [prop])

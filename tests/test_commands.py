@@ -241,3 +241,24 @@ def test_image_search_harness(small_index, capsys):
     out = capsys.readouterr().out
     dct_row = [l for l in out.splitlines() if "dct" in l and "fdct" not in l][0]
     assert "|   3 |   0 |   0.0" in dct_row, out
+
+
+def test_multisort(tmp_path, capsys):
+    """Consecutive -sort args form a multisort: first verb is the primary
+    key (reference usage.txt:88-91)."""
+    root = str(tmp_path)
+    rng = np.random.default_rng(42)
+    # two sizes x two prefixes so (suffixless) name and width disagree
+    for name, w in (("a", 200), ("b", 100), ("c", 200), ("d", 100)):
+        Image.fromarray(synth_image(rng, 100, w)).save(
+            os.path.join(root, f"{name}.png"))
+    assert main(["-use", root, "-i.algos", "dct", "-i.fsize", "16",
+                 "-create", "-update"]) == 0
+    rc = main(["-use", root, "-select-all",
+               "-sort", "width", "-sort-rev", "name", "-json"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    names = [os.path.basename(m["path"]) for m in
+             [data[0]["needle"]] + data[0]["matches"]]
+    # primary: width ascending (100 first); secondary: name descending
+    assert names == ["d.png", "b.png", "c.png", "a.png"], names
