@@ -112,15 +112,19 @@ def compile_filter(prop: str, expr: str) -> Callable[[Media, Optional[Media]], b
     return run
 
 
-def filter_selection(selection: list[Media], prop: str, expr: str) -> list[Media]:
+def filter_selection(selection: list[Media], prop: str, expr: str,
+                     negate: bool = False) -> list[Media]:
     pred = compile_filter(prop, expr)
-    return [m for m in selection if pred(m, None)]
+    return [m for m in selection if pred(m, None) != negate]
 
 
-def filter_groups(groups: list[MediaGroup], prop: str, expr: str) -> list[MediaGroup]:
+def filter_groups(groups: list[MediaGroup], prop: str, expr: str,
+                  negate: bool = False) -> list[MediaGroup]:
     """Filter match items within groups; the needle (group[0]) provides
-    %needle context and survives; groups left without matches are dropped."""
-    pred = compile_filter(prop, expr)
+    %needle context and survives; groups left without matches are dropped.
+    negate=True keeps items that do NOT match (-without)."""
+    raw = compile_filter(prop, expr)
+    pred = (lambda m, n: not raw(m, n)) if negate else raw
     out = []
     for g in groups:
         if not g:

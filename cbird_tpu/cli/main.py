@@ -55,7 +55,9 @@ usage: cbird [args...]   (arguments are executed in order)
     -select-errors      select files that failed indexing
     -weeds              select media recorded as weeds
     -with <prop> <expr>    filter selection/results by expression
-    -or-with <prop> <expr> add an OR alternative to the last filter
+    -without <prop> <expr> inverse filter (keep non-matching)
+    -or-with[out] <p> <e>  add an OR alternative to the last filter
+    -slice <selector>   restrict subsequent searches to a selection
     -sort[-rev] <prop>  sort selection items, or result groups by needle
     -sort-result[-rev] <prop>  sort result groups by first member
     -sort-similar       order selection by hash similarity (greedy chain)
@@ -115,7 +117,8 @@ _KNOWN_VERBS = [
     "-similar", "-similar-to", "-similar-in", "-dups", "-dups-in",
     "-select-all", "-select-path", "-select-type", "-select-id", "-select-one",
     "-select-none", "-select-result", "-select-errors", "-weeds",
-    "-with", "-or-with", "-sort", "-sort-rev", "-sort-result",
+    "-with", "-without", "-or-with", "-or-without", "-slice", "-add-video",
+    "-install", "-sort", "-sort-rev", "-sort-result",
     "-sort-result-rev", "-sort-similar", "-merge", "-group-by", "-head", "-tail",
     "-first", "-first-sibling", "-chop", "-dump", "-json", "-count", "-show",
     "-browse", "-max-per-page",
@@ -315,30 +318,33 @@ class Cli:
             info(f"{len(self.result)} duplicate groups")
             return i + 2
 
-        if a == "-with" or a == "-or-with":
+        if a in ("-with", "-without", "-or-with", "-or-without"):
             from .commands import filter_groups, filter_selection
             prop = self._need(args, i, "a property")
             if i + 2 >= len(args):
                 raise ParamError(f"{a} requires <prop> <expr>")
             expr = args[i + 2]
-            if a == "-with":
+            neg = "without" in a
+            if a in ("-with", "-without"):
                 self._prefilter = (list(self.selection), [list(g) for g in self.result])
                 if self.selection:
-                    self.selection = filter_selection(self.selection, prop, expr)
+                    self.selection = filter_selection(self.selection, prop,
+                                                      expr, negate=neg)
                     self.result = [self.selection] if self.selection else []
                 else:
-                    self.result = filter_groups(self.result, prop, expr)
+                    self.result = filter_groups(self.result, prop, expr,
+                                                negate=neg)
             else:
                 if not hasattr(self, "_prefilter"):
-                    raise ParamError("-or-with requires a preceding -with")
+                    raise ParamError(f"{a} requires a preceding -with[out]")
                 sel0, res0 = self._prefilter
                 if sel0:
-                    extra = filter_selection(sel0, prop, expr)
+                    extra = filter_selection(sel0, prop, expr, negate=neg)
                     seen = {m.path for m in self.selection}
                     self.selection += [m for m in extra if m.path not in seen]
                     self.result = [self.selection] if self.selection else []
                 else:
-                    extra = filter_groups(res0, prop, expr)
+                    extra = filter_groups(res0, prop, expr, negate=neg)
                     seen = {tuple(m.path for m in g) for g in self.result}
                     self.result += [g for g in extra
                                     if tuple(m.path for m in g) not in seen]
@@ -672,7 +678,7 @@ complete -F _cbird_complete cbird""")
             print(f"{f}: {n} frames {shape} in {dt:.2f}s "
                   f"({n / max(dt, 1e-9):.0f} fps)")
             return i + 2
-        if a == "-license":
+        if a in ("-license", "--license"):
             lic = os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), "LICENSE")
             print(open(lic).read() if os.path.exists(lic)
@@ -691,6 +697,30 @@ complete -F _cbird_complete cbird""")
 
         # GUI-only verbs: accepted for cbird script compatibility, no-ops in
         # this headless build (the -show HTML report replaces the browser)
+        if a == "-slice":
+            # scope subsequent searches to a selection (reference -slice,
+            # src/main.cpp:1333-1335: params.set + inSet → Index::slice)
+            sel = self._need(args, i, "a selector")
+            self.search.set = self._select(sel)
+            self.search.inSet = True
+            return i + 2
+        if a == "-add-video":
+            # index exactly one video (the reference uses this for forked
+            # hw-decode isolation, src/scanner.cpp:1132-1177; here it is a
+            # scripting convenience)
+            f = os.path.abspath(self._need(args, i, "a video file"))
+            from ..host.video import process_video
+            eng = self.engine()
+            m = process_video(f, self.index, video_dir=eng.db.video_path())
+            if m is None:
+                raise ParamError(f"cannot index video: {f}")
+            eng.db.add([m])
+            info(f"added {f} ({len(m.videoIndex.frames)} retained frames)")
+            return i + 2
+        if a == "-install":
+            warn("-install: desktop integration is not applicable to this "
+                 "headless build")
+            return i + 1
         if a in ("-sets", "-folders"):
             # browser view modes (reference MediaBrowser::ShowPairs /
             # ShowFolders, src/gui/mediabrowser.h:30-34)

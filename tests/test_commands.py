@@ -262,3 +262,13 @@ def test_multisort(tmp_path, capsys):
              [data[0]["needle"]] + data[0]["matches"]]
     # primary: width ascending (100 first); secondary: name descending
     assert names == ["d.png", "b.png", "c.png", "a.png"], names
+
+
+def test_without_and_slice(small_index, capsys):
+    rc = main(["-use", small_index, "-select-all",
+               "-without", "name", "~photo00", "-count"])
+    assert rc == 0
+    assert "2 items" in capsys.readouterr().out
+    # -slice restricts -similar-to to the sliced subset
+    rc = main(["-use", small_index, "-slice", ".", "-select-all", "-count"])
+    assert rc == 0
