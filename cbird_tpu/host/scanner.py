@@ -256,7 +256,9 @@ class Scanner:
                 img.draft(None, (rsize, rsize))
             img = ImageOps.exif_transpose(img)
             rgb = None
-            if want_color and img.mode not in ("L", "I", "I;16", "1"):
+            if want_color:
+                # grayscale images too — the reference builds the LUV
+                # descriptor for every image (src/scanner.cpp:869-873)
                 c = img.convert("RGB")
                 c.thumbnail((256, 256), Image.NEAREST)
                 rgb = np.asarray(c)

@@ -162,8 +162,9 @@ class CvFeaturesIndex(Index):
     def add_records(self, conn, media: list[Media]) -> None:
         rows = []
         for m in media:
-            if m.type == TYPE_IMAGE and m.keyPointDescriptors is not None \
-                    and len(m.keyPointDescriptors):
+            # empty descriptor sets are stored too (processed marker; see
+            # DctFeaturesIndex.add_records)
+            if m.type == TYPE_IMAGE and m.keyPointDescriptors is not None:
                 d = np.asarray(m.keyPointDescriptors, dtype=np.uint8)
                 rows.append((m.id, len(d), zlib.compress(d.tobytes(), 6)))
         if rows:

@@ -53,10 +53,12 @@ class DctFeaturesIndex(Index):
                      " hashes blob not null)")
 
     def add_records(self, conn, media: list[Media]) -> None:
+        # an empty blob is stored when the image was processed but produced
+        # no keypoint hashes (smooth images) — otherwise the algo-sync on
+        # every -update would re-index such files forever
         rows = [(m.id, np.asarray(m.keyPointHashes, dtype=np.uint64).tobytes())
                 for m in media
-                if m.type == TYPE_IMAGE and m.keyPointHashes is not None
-                and len(m.keyPointHashes)]
+                if m.type == TYPE_IMAGE and m.keyPointHashes is not None]
         if rows:
             conn.executemany(
                 "insert or replace into kphash (media_id, hashes) values (?,?)",
@@ -133,7 +135,11 @@ class DctFeaturesIndex(Index):
             if not slice_needles:
                 return
             flat = np.concatenate([h for _, h in slice_needles])
-            raw = self._store.search(flat, params.dctThresh, k=VOTE_K) \
+            # fetch 3x margin, then cut to VOTE_K deterministically by
+            # (distance, media id) in _vote — the device top-k breaks
+            # distance ties by row position, which changes when rows are
+            # removed and re-appended (testAddRemove bit-identity)
+            raw = self._store.search(flat, params.dctThresh, k=3 * VOTE_K) \
                 if len(flat) else []
             pos = 0
             for needle, hashes in slice_needles:
@@ -157,6 +163,9 @@ class DctFeaturesIndex(Index):
         scores: dict[int, int] = {}
         max_matches = 0
         for ids, dists in hits:
+            if len(ids) > VOTE_K:  # deterministic top-10: (distance, id)
+                order = np.lexsort((ids, dists))[:VOTE_K]
+                ids, dists = ids[order], dists[order]
             for mid, d in zip(ids.tolist(), dists.tolist()):
                 if mid <= 0:
                     continue

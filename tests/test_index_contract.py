@@ -1,0 +1,198 @@
+"""Index plugin contract, uniformly over all five algorithms — the
+equivalent of the reference's shared TestIndexBase harness
+(unit/testindexbase.cpp:20-218): defaults for an unloaded index, every
+indexed file re-found as a needle (baseTestLoad), and remove → absent →
+re-add → bit-identical results (baseTestAddRemove)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cbird_tpu.host.engine import Engine
+from cbird_tpu.params import IndexParams, SearchParams
+
+IMAGE_ALGOS = ["dct", "fdct", "orb", "color"]
+# the variant each algo is designed to find (readme.md:215: scaled copies
+# for dct/color, heavy crops for the feature algos)
+VARIANT_FOR = {"dct": "scaled", "color": "scaled", "fdct": "crop",
+               "orb": "crop"}
+
+
+def _textured(rng, h, w, n=40):
+    """Colored noisy-block texture with strong, DISTINCT corners.  Smooth
+    gradients yield no >=31px keypoints (starving the feature algos);
+    constant-fill blocks make corner hashes near-identical (tie-unstable
+    votes); grayscale palettes degenerate the color algo's LUV k-means —
+    so: RGB blocks, distinct base colors, mild noise."""
+    img = (60 + 5 * rng.standard_normal((h, w, 3))).clip(0, 255).astype(np.uint8)
+    for _ in range(n):
+        y, x = rng.integers(0, h - 20), rng.integers(0, w - 20)
+        hh, ww = rng.integers(8, 50), rng.integers(8, 50)
+        base = rng.integers(30, 226, size=3).astype(np.float64)
+        block = img[y:y + hh, x:x + ww]  # may be clipped at the border
+        img[y:y + hh, x:x + ww] = (
+            base + 8 * rng.standard_normal(block.shape)).clip(0, 255)
+    return img
+
+
+def _make_corpus(root, n_base, size, seed):
+    """Per base image: full size, a 75% rescale (dct/color territory) and a
+    ~56% crop (fdct/orb territory) — the reference corpus is "40 images x 5
+    sizes" photos (unit/testindexbase.cpp:121-123)."""
+    rng = np.random.default_rng(seed)
+    h, w = size
+    out = {}
+    for i in range(n_base):
+        base = _textured(rng, h, w)
+        paths = {}
+        p = os.path.join(root, f"img{i:03d}_full.png")
+        Image.fromarray(base).save(p)
+        paths["full"] = p
+        p = os.path.join(root, f"img{i:03d}_scaled.png")
+        Image.fromarray(base).resize((int(w * .75), int(h * .75)),
+                                     Image.BOX).save(p)
+        paths["scaled"] = p
+        p = os.path.join(root, f"img{i:03d}_crop.png")
+        Image.fromarray(base[h // 8:h - h // 8, w // 8:w - w // 8]).save(p)
+        paths["crop"] = p
+        out[f"img{i:03d}"] = paths
+    return out
+
+
+def _params_for(algo: str) -> SearchParams:
+    sp = SearchParams()
+    sp.set_param("alg", algo)
+    if algo == "video":
+        sp.skipFrames = 5
+        sp.minFramesMatched = 10
+        sp.minFramesNear = 40
+    return sp
+
+
+@pytest.fixture(scope="module")
+def contract_engine(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("contract"))
+    groups = _make_corpus(root, n_base=4, size=(240, 300), seed=7)
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_video import make_frames
+    from cbird_tpu.host.video import FseqBackend
+    full = make_frames(80, seed=11)
+    FseqBackend.save(os.path.join(root, "vid_full.fseq"), full, 25.0)
+    FseqBackend.save(os.path.join(root, "vid_clip.fseq"),
+                     full[20:60].copy(), 25.0)
+    params = IndexParams()
+    params.algos = 0b11111
+    params.minFileSize = 64
+    eng = Engine(root, params)
+    stats = eng.update()
+    assert stats["added"] == 14, stats  # 12 images + 2 videos
+    # idempotence: a second update with nothing changed is a no-op — this
+    # regressed once for images that produce zero keypoint hashes (the
+    # algo-sync re-indexed them forever until empty rows were stored)
+    stats = eng.update()
+    assert stats["added"] == 0 and not stats["modified"], stats
+    yield eng, root, groups
+    eng.db.close()
+
+
+def test_unloaded_defaults(contract_engine):
+    eng, root, groups = contract_engine
+    for idx in eng.db.indexes():
+        if not idx.is_loaded():
+            assert idx.count() == 0
+            assert idx.memory_usage() >= 0
+
+
+@pytest.mark.parametrize("algo", IMAGE_ALGOS)
+def test_base_load(contract_engine, algo):
+    """Every indexed image, re-processed from its file as a fresh needle,
+    finds itself and its algo-appropriate variant (baseTestLoad)."""
+    eng, root, groups = contract_engine
+    sp = _params_for(algo)
+    variant = VARIANT_FOR[algo]
+    hits = 0
+    for base, paths in groups.items():
+        fresh = eng.scanner.process_image_file(paths["full"])
+        assert fresh is not None, paths["full"]
+        matches = eng.query(fresh, sp)
+        found = {os.path.basename(m.path) for m in matches}
+        assert os.path.basename(paths["full"]) in found, (algo, base, found)
+        if os.path.basename(paths[variant]) in found:
+            hits += 1
+    # every group's variant should be found; allow one borderline miss
+    assert hits >= len(groups) - 1, (algo, hits)
+
+
+def test_base_load_video(contract_engine):
+    eng, root, groups = contract_engine
+    sp = _params_for("video")
+    needle = eng.db.media_with_path(os.path.join(root, "vid_clip.fseq"))
+    matches = eng.db.similar_to(needle, sp)
+    assert any("vid_full" in m.path for m in matches), \
+        [m.path for m in matches]
+
+
+def _results_fingerprint(eng, paths, sp, strong=None):
+    """@param strong keep only matches scoring <= strong — for the feature
+    algos the weak tail (accidental 1-2 kp cross-matches at the candidate
+    fetch cap) is tie-unstable on this synthetic corpus, while real photo
+    fixtures (the reference's) rarely tie at the boundary."""
+    out = []
+    for p in paths:
+        needle = eng.db.media_with_path(p)
+        matches = eng.db.similar_to(needle, sp)
+        out.append(sorted((os.path.basename(m.path), m.score)
+                          for m in matches
+                          if strong is None or m.score <= strong))
+    return out
+
+
+def _stored_payload(eng, path, sp):
+    m = eng.db.media_with_path(path)
+    idx = eng.db.load_index(sp)
+    m.keyPointHashes = None
+    m.keyPointDescriptors = None
+    m.colorDescriptor = None
+    idx.find_index_data(m)
+    for attr in ("keyPointHashes", "keyPointDescriptors", "colorDescriptor"):
+        v = getattr(m, attr)
+        if v is not None and len(v):
+            a = np.asarray(v)
+            rows = a.reshape(len(a), -1)
+            return b"".join(sorted(r.tobytes() for r in rows))  # multiset
+    return m.dctHash
+
+
+@pytest.mark.parametrize("algo", IMAGE_ALGOS)
+def test_add_remove_readd(contract_engine, algo):
+    """Remove items → absent from every result; re-index → stored payloads
+    bit-identical and strong matches identical (baseTestAddRemove /
+    groupCompareByContents)."""
+    eng, root, groups = contract_engine
+    sp = _params_for(algo)
+    variant = VARIANT_FOR[algo]
+    strong = 20 if algo in ("fdct", "orb") else None
+    victims = [groups["img000"][variant], groups["img001"][variant]]
+    probes = [groups[k]["full"] for k in ("img000", "img001", "img002")]
+    before = _results_fingerprint(eng, probes, sp, strong)
+    payload_before = [_stored_payload(eng, v, sp) for v in victims]
+    assert any(any(os.path.basename(v) == n for n, _ in fp)
+               for v in victims for fp in before), (algo, before)
+
+    ids = [eng.db.media_with_path(v).id for v in victims]
+    eng.db.remove(ids)
+    after_remove = _results_fingerprint(eng, probes, sp)
+    gone = {os.path.basename(v) for v in victims}
+    for fp in after_remove:
+        assert not any(n in gone for n, _ in fp), (algo, fp)
+
+    stats = eng.update()  # re-index exactly the removed files
+    assert stats["added"] == 2, stats
+    # re-extracted signatures are bit-identical to the originals
+    payload_after = [_stored_payload(eng, v, sp) for v in victims]
+    assert payload_after == payload_before, algo
+    after_readd = _results_fingerprint(eng, probes, sp, strong)
+    assert after_readd == before, (algo, after_readd, before)
