@@ -78,6 +78,48 @@ class FseqBackend:
                 yield frame
 
 
+# Below this many frames a seek decodes-and-drops from frame 0 (cheap, and
+# exact for any timestamp weirdness); at/above it an -ss keyframe seek pays
+# off.  ~12s of 25fps video, a few GOPs.
+SEEK_MIN_FRAMES = 300
+# Input seek lands on the nearest keyframe at/before the target; back off
+# this many seconds so the GOP containing the target is always decoded.
+SEEK_GUARD_SECONDS = 10.0
+
+
+def decode_cmd(path: str, ow: int, oh: int, start: int = 0,
+               fps: float = 0.0, start_time: float = 0.0) -> list[str]:
+    """Build the ffmpeg decode command (pure, unit-testable: the test
+    environment has no ffmpeg binary).
+
+    Small/zero ``start``: decode from 0, a select filter drops frames
+    before ``start`` after decode (always exact).  Large ``start`` with a
+    known ``fps``: fast keyframe seek via ``-ss`` before ``-i`` to
+    ``SEEK_GUARD_SECONDS`` ahead of the target, then ``-copyts`` keeps the
+    original timestamps so a time-based select drops the sub-GOP remainder
+    — the reference's fast-then-accurate seek ladder
+    (src/videocontext.cpp:1642-1773) without decoding the whole prefix."""
+    pre = ["ffmpeg", "-v", "error", "-skip_frame", "default", "-flags2", "fast"]
+    post: list[str] = []
+    vf_select = ""
+    if start >= SEEK_MIN_FRAMES and fps > 0:
+        target_t = start / fps + start_time
+        seek_t = max(0.0, target_t - SEEK_GUARD_SECONDS)
+        if seek_t > 0:
+            pre += ["-ss", f"{seek_t:.6f}"]
+            post = ["-copyts"]
+            # t is the original timestamp under -copyts; half a frame of
+            # slack so float rounding never drops the target frame itself
+            vf_select = f"select=gte(t\\,{target_t - 0.5 / fps:.6f}),"
+        else:
+            vf_select = f"select=gte(n\\,{start}),"
+    elif start:
+        vf_select = f"select=gte(n\\,{start}),"
+    return (pre + ["-i", path] + post +
+            ["-vf", f"{vf_select}scale={ow}:{oh}", "-fps_mode", "passthrough",
+             "-f", "rawvideo", "-pix_fmt", "gray", "-"])
+
+
 class FfmpegBackend:
     """ffmpeg subprocess decode: grayscale, ≤128px, fast flags."""
 
@@ -88,35 +130,43 @@ class FfmpegBackend:
     def probe(self, path: str) -> dict:
         out = subprocess.run(
             ["ffprobe", "-v", "error", "-select_streams", "v:0",
-             "-show_entries", "stream=width,height,r_frame_rate,duration",
-             "-of", "csv=p=0", path],
-            capture_output=True, text=True, timeout=60).stdout.strip()
-        w, h, rate, dur = (out.split(",") + ["", "", "", ""])[:4]
-        num, _, den = rate.partition("/")
-        fps = float(num) / float(den or 1) if num else 25.0
-        return {"width": int(w or 0), "height": int(h or 0), "fps": fps,
-                "duration": float(dur or 0)}
+             "-show_entries", "stream=width,height,r_frame_rate,duration,start_time",
+             "-of", "json", path],
+            capture_output=True, text=True, timeout=60).stdout
+        import json
+        try:
+            st = json.loads(out)["streams"][0]
+        except (ValueError, KeyError, IndexError):
+            st = {}
+        num, _, den = str(st.get("r_frame_rate", "")).partition("/")
+        try:
+            fps = float(num) / float(den or 1)
+        except ValueError:
+            fps = 25.0
+
+        def _f(key):
+            try:
+                return float(st.get(key))
+            except (TypeError, ValueError):
+                return 0.0
+        return {"width": int(st.get("width", 0) or 0),
+                "height": int(st.get("height", 0) or 0),
+                "fps": fps or 25.0, "duration": _f("duration"),
+                "start_time": _f("start_time")}
 
     def frames(self, path: str, max_side: int = DECODE_MAX_SIDE,
                start: int = 0) -> Iterator[np.ndarray]:
-        """@param start first frame number to yield (frame-accurate: a
-        select filter drops earlier frames after decode, so resume/seek
-        never transfers or scales skipped frames — the analog of the
-        reference's accurate seek, src/videocontext.cpp:1642-1773)."""
+        """@param start first frame number to yield (frame-accurate; large
+        offsets use an -ss keyframe seek, see decode_cmd)."""
         meta = self.probe(path)
         w, h = meta["width"], meta["height"]
         if w <= 0 or h <= 0:
             return
         scale = min(1.0, max_side / max(w, h))
         ow, oh = max(2, int(w * scale) // 2 * 2), max(2, int(h * scale) // 2 * 2)
-        vf = f"scale={ow}:{oh}"
-        if start:
-            vf = f"select=gte(n\\,{start})," + vf
         proc = subprocess.Popen(
-            ["ffmpeg", "-v", "error", "-skip_frame", "default",
-             "-flags2", "fast", "-i", path,
-             "-vf", vf, "-fps_mode", "passthrough",
-             "-f", "rawvideo", "-pix_fmt", "gray", "-"],
+            decode_cmd(path, ow, oh, start=start, fps=meta["fps"],
+                       start_time=meta.get("start_time", 0.0)),
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
         frame_bytes = ow * oh
         try:

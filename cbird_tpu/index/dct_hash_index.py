@@ -82,8 +82,17 @@ class DctHashIndex(Index):
         # filtered anyway, let the cheap count phase skip single-hit needles
         min_hits = 2 if (params.filterSelf
                          and all(n.id > 0 for n in needles)) else 1
-        raw = self._store.search(hashes, params.dctThresh, k=k,
-                                 min_hits=min_hits)
+        if (min_hits == 2 and len(needles) == len(self._store)
+                and np.array_equal(hashes, self._store.hashes)
+                and np.array_equal(
+                    np.fromiter((n.id for n in needles), np.uint32,
+                                len(needles)), self._store.ids)):
+            # N² -similar: the needle set IS the index, row-for-row — use
+            # the triangular count phase (symmetric matrix, ~2x less work)
+            raw = self._store.search_self(params.dctThresh, k=k)
+        else:
+            raw = self._store.search(hashes, params.dctThresh, k=k,
+                                     min_hits=min_hits)
         out: list[list[Match]] = []
         for n, (ids, dists) in zip(needles, raw):
             if not n.dctHash:

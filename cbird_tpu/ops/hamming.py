@@ -134,6 +134,38 @@ def hamming_count_below(needles: jnp.ndarray, haystack: jnp.ndarray,
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "masked"))
+def _self_count_tile(acc: jnp.ndarray, row_base: jnp.ndarray,
+                     col_base: jnp.ndarray, haystack: jnp.ndarray,
+                     valid: jnp.ndarray, threshold: jnp.ndarray,
+                     rows: int, cols: int, masked: bool):
+    """One [rows × cols] tile of the triangular N² self-search count phase.
+
+    The self-search distance matrix is symmetric, so the host only
+    dispatches tiles on or above the block diagonal (~2x less scan work);
+    each dispatch is a single fused xor+popcount+compare+reduce block —
+    no in-device scan/cond machinery, which measured slower than the work
+    it saved.  ``masked=True`` compiles the one diagonal-straddling tile
+    per row block with a strict j > i mask (excludes self-pairs and the
+    below-diagonal corner); all other tiles run the plain unmasked kernel.
+
+    acc [rows] i32 — running row counts for this row block (device array;
+    passing it in keeps the host loop free of readbacks until the end)
+    @return acc + per-needle #{hits in this tile}
+    """
+    nb = jax.lax.dynamic_slice(haystack, (row_base, 0), (rows, 2))
+    row_valid = jax.lax.dynamic_slice(valid, (row_base,), (rows,))
+    hs = jax.lax.dynamic_slice(haystack, (col_base, 0), (cols, 2))
+    vs = jax.lax.dynamic_slice(valid, (col_base,), (cols,))
+    d = _chunk_dists(nb[:, 0], nb[:, 1], hs[:, 0], hs[:, 1])
+    hit = (d < threshold) & (vs & row_valid[:, None])
+    if masked:
+        col_ids = col_base + jnp.arange(cols, dtype=jnp.int32)
+        row_ids = row_base + jnp.arange(rows, dtype=jnp.int32)
+        hit &= col_ids[None, :] > row_ids[:, None]
+    return acc + hit.sum(axis=1, dtype=jnp.int32)
+
+
 def _bucket(n: int, minimum: int = 1024, chunk: int = 1 << 21,
             multiple: int = 1) -> int:
     """Device-array bucket size: powers of two for small stores (bounds the
@@ -313,6 +345,117 @@ class PackedHashStore:
             if len(hot) == 0:
                 return results
 
+        return self._topk_phase(needles, hot, results, pairs_dev, valid_dev,
+                                threshold, k, needle_batch)
+
+    def search_self(self, threshold: int, k: int = 64,
+                    needle_batch: int = 1024, rows: int = 16384,
+                    cols: int = 0, min_n: int = 1 << 16):
+        """N² self-search: every store row queried against the whole store,
+        equivalent to ``search(self.hashes, threshold, k, min_hits=2)`` but
+        with the count phase run over the upper triangle only (the matrix
+        is symmetric — see _self_count_step), ~2x less scan work.  Needles
+        whose duplicates are all *earlier* rows are never row-hot; their
+        results are mirrored out of the hot needles' full scans (every
+        (i, j) hit has a hot i).  Used by -similar when the needle set IS
+        the index."""
+        n = len(self._hashes)
+        if n == 0:
+            return []
+        mesh = _search_mesh()
+        if mesh is not None or n <= min_n:
+            # sharded triangle would need cross-shard hot-set merging;
+            # small stores are count-phase-cheap anyway — use the plain path
+            return self.search(self._hashes, threshold, k, min_hits=2)
+        pairs_dev, valid_dev = self._device_arrays()
+        n_pad = pairs_dev.shape[0]
+        rows = min(rows, n_pad)        # all divide n_pad: powers of two
+        if not cols:                   # (≤2^21) or multiples of 2^21
+            # col-tile width trades skip granularity (smaller = closer to
+            # the ideal 50%) against per-dispatch overhead (larger = fewer)
+            cols = 1 << 16 if n_pad <= 1 << 20 else 1 << 19
+        cols = min(cols, n_pad)
+        thresh_dev = jnp.int32(threshold)
+        k = min(k, n)
+        # launch every on/above-diagonal tile asynchronously, sync once
+        row_parts = []
+        for rb in range(0, n_pad, rows):
+            acc = jnp.zeros(rows, jnp.int32)
+            for cb in range(0, n_pad, cols):
+                if cb + cols <= rb:
+                    continue  # tile entirely below the diagonal
+                acc = _self_count_tile(acc, jnp.int32(rb), jnp.int32(cb),
+                                       pairs_dev, valid_dev, thresh_dev,
+                                       rows=rows, cols=cols,
+                                       masked=cb < rb + rows)
+            row_parts.append(acc)
+        counts = np.concatenate(jax.device_get(row_parts))[:n]
+        empty = (np.zeros(0, np.uint32), np.zeros(0, np.int32))
+        results: list = [empty] * n
+        hot = np.nonzero(counts >= 1)[0]  # ≥1 neighbor at a LATER row
+        if len(hot) == 0:
+            return results
+        needles = split_u64(self._hashes)
+        self._topk_phase(needles, hot, results, pairs_dev, valid_dev,
+                         threshold, k, needle_batch)
+        self._mirror_self_matches(results, hot, k)
+        overflow = [r for r in np.nonzero(counts == 0)[0]
+                    if len(results[r][0]) >= k]
+        if overflow:  # mirrored ≥ k hits: mirror may have truncated
+            # differently than the needle's own top-k would — rescan
+            self._topk_phase(needles, np.asarray(overflow), results,
+                             pairs_dev, valid_dev, threshold, k, needle_batch)
+        return results
+
+    def _mirror_self_matches(self, results, hot, k):
+        """Self-search completion: for every hit (i, j) of a row-hot needle
+        i, add the symmetric (j, i) hit to j's results if j wasn't scanned
+        itself (store ids must be unique — true for Database ids).
+        Mirrored lists gain the target's own self-match (distance 0) and
+        are ordered like a scan: ascending distance, ties by store row."""
+        src_parts, id_parts, d_parts = [], [], []
+        for i in hot:
+            ids, dists = results[i]
+            if len(ids):
+                src_parts.append(np.full(len(ids), i, np.int64))
+                id_parts.append(ids)
+                d_parts.append(dists)
+        if not src_parts:
+            return
+        src = np.concatenate(src_parts)
+        hit_ids = np.concatenate(id_parts)
+        d = np.concatenate(d_parts)
+        # id → store row (vectorized; rows with id 0 are tombstones)
+        valid_rows = np.nonzero(self._ids)[0]
+        order = np.argsort(self._ids[valid_rows])
+        sorted_ids = self._ids[valid_rows][order]
+        rows_sorted = valid_rows[order]
+        pos = np.clip(np.searchsorted(sorted_ids, hit_ids),
+                      0, max(len(sorted_ids) - 1, 0))
+        tgt = rows_sorted[pos]
+        hot_mask = np.zeros(len(self._ids), bool)
+        hot_mask[hot] = True
+        keep = ((sorted_ids[pos] == hit_ids) & (tgt != src) & ~hot_mask[tgt])
+        sel = np.nonzero(keep)[0]
+        if not len(sel):
+            return
+        tgt, d, src = tgt[sel], d[sel], src[sel]
+        by_tgt = np.lexsort((src, d, tgt))
+        tgt, d, src = tgt[by_tgt], d[by_tgt], src[by_tgt]
+        starts = np.nonzero(np.r_[True, tgt[1:] != tgt[:-1]])[0]
+        bounds = np.r_[starts[1:], len(tgt)]
+        for s0, s1 in zip(starts, bounds):
+            r = int(tgt[s0])
+            ds = np.r_[np.int32(0), d[s0:s1]]       # own self-match first
+            rows = np.r_[np.int64(r), src[s0:s1]]
+            o = np.lexsort((rows, ds))[:k]
+            results[r] = (self._ids[rows[o]].astype(np.uint32),
+                          ds[o].astype(np.int32))
+
+    def _topk_phase(self, needles, hot, results, pairs_dev, valid_dev,
+                    threshold, k, needle_batch):
+        """Top-k sort for the needles that passed the count gate; fills and
+        returns ``results`` (ids/dists below threshold, ascending)."""
         pending = []
         for s in range(0, len(hot), needle_batch):
             sel = hot[s:s + needle_batch]

@@ -158,3 +158,56 @@ def test_lanes_topk_streaming(rng):
     d1, _ = hamming_lanes_topk(*args, k=5, chunk=4096)
     d2, _ = hamming_lanes_topk(*args, k=5, chunk=250)
     assert np.array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_search_self_matches_search(rng):
+    """The triangular self-search path returns exactly what the plain
+    two-phase path returns for needles == store (N² -similar)."""
+    n = 3000
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    # plant dup clusters in both directions across block boundaries
+    for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
+        hashes[dst] = hashes[src] ^ np.uint64(1 << int(rng.integers(0, 64)))
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+    store = PackedHashStore(hashes, ids)
+    ref = store.search(hashes, 5, k=64, min_hits=2)
+    tri = store.search_self(5, k=64, rows=512, cols=1024, min_n=0)
+    assert len(ref) == len(tri)
+    for (ri, rd), (ti, td) in zip(ref, tri):
+        assert np.array_equal(ri, ti)
+        assert np.array_equal(rd, td)
+    # hits exist and include a planted pair both directions
+    assert 5 + 1 in tri[2900][0] and 2900 + 1 in tri[5][0]
+
+
+def test_search_self_tombstones(rng):
+    """Tombstoned rows neither match nor emit as needles in self-search."""
+    n = 2048
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    hashes[7] = hashes[1000]  # exact dup pair
+    hashes[500] = hashes[1500]
+    store = PackedHashStore(hashes, np.arange(1, n + 1, dtype=np.uint32))
+    store.remove([501, 1501])  # kill one dup pair entirely
+    tri = store.search_self(5, k=16, rows=256, cols=512, min_n=0)
+    ref = store.search(store.hashes, 5, k=16, min_hits=2)
+    for (ri, rd), (ti, td) in zip(ref, tri):
+        assert np.array_equal(ri, ti) and np.array_equal(rd, td)
+    assert 1001 in tri[7][0] and 8 in tri[1000][0]
+    assert len(tri[500][0]) == 0 and len(tri[1500][0]) == 0
+
+
+def test_search_self_big_cluster_overflow(rng):
+    """A duplicate cluster larger than k: mirrored-only needles must be
+    rescanned so their k nearest match the plain path exactly."""
+    n = 2048
+    k = 8
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    base = int(hashes[100])
+    for r in range(101, 131):  # 31-member near-identical cluster
+        hashes[r] = np.uint64(base ^ (1 << int(rng.integers(0, 64))))
+    store = PackedHashStore(hashes, np.arange(1, n + 1, dtype=np.uint32))
+    ref = store.search(hashes, 5, k=k, min_hits=2)
+    tri = store.search_self(5, k=k, rows=256, cols=512, min_n=0)
+    for row, ((ri, rd), (ti, td)) in enumerate(zip(ref, tri)):
+        assert np.array_equal(ri, ti), row
+        assert np.array_equal(rd, td), row

@@ -414,3 +414,38 @@ def test_grab_frame_and_start(tmp_path):
     f = grab_frame(p, 17)
     assert np.array_equal(f, frames[17])
     assert grab_frame(p, 99) is None
+
+
+def test_decode_cmd_seek_ladder():
+    """ffmpeg command construction: small starts use an exact frame-number
+    select from 0; large starts input-seek with -ss + -copyts and a
+    timestamp select (reference fast-then-accurate seek,
+    src/videocontext.cpp:1642-1773)."""
+    from cbird_tpu.host.video import SEEK_MIN_FRAMES, decode_cmd
+
+    cmd = decode_cmd("v.mp4", 128, 72)
+    assert "-ss" not in cmd and "select" not in cmd[cmd.index("-vf") + 1]
+
+    cmd = decode_cmd("v.mp4", 128, 72, start=10, fps=25.0)
+    assert "-ss" not in cmd
+    assert "select=gte(n\\,10)," in cmd[cmd.index("-vf") + 1]
+
+    # large start, known fps: keyframe seek 10s before target, original
+    # timestamps kept, time-based select half a frame before the target
+    cmd = decode_cmd("v.mp4", 128, 72, start=25000, fps=25.0, start_time=0.5)
+    seek_t = float(cmd[cmd.index("-ss") + 1])
+    assert cmd.index("-ss") < cmd.index("-i")  # input seek, not output
+    assert abs(seek_t - (25000 / 25.0 + 0.5 - 10.0)) < 1e-6
+    assert "-copyts" in cmd and cmd.index("-copyts") > cmd.index("-i")
+    vf = cmd[cmd.index("-vf") + 1]
+    assert f"select=gte(t\\,{25000 / 25.0 + 0.5 - 0.02:.6f})," in vf
+
+    # large start but target within the guard window of 0: plain select
+    cmd = decode_cmd("v.mp4", 128, 72, start=SEEK_MIN_FRAMES, fps=60.0)
+    assert "-ss" not in cmd
+    assert f"select=gte(n\\,{SEEK_MIN_FRAMES})," in cmd[cmd.index("-vf") + 1]
+
+    # unknown fps: never seek blind
+    cmd = decode_cmd("v.mp4", 128, 72, start=100000, fps=0.0)
+    assert "-ss" not in cmd
+    assert "select=gte(n\\,100000)," in cmd[cmd.index("-vf") + 1]
