@@ -398,13 +398,47 @@ class PackedHashStore:
         needles = split_u64(self._hashes)
         self._topk_phase(needles, hot, results, pairs_dev, valid_dev,
                          threshold, k, needle_batch)
-        self._mirror_self_matches(results, hot, k)
-        overflow = [r for r in np.nonzero(counts == 0)[0]
-                    if len(results[r][0]) >= k]
-        if overflow:  # mirrored ≥ k hits: mirror may have truncated
-            # differently than the needle's own top-k would — rescan
-            self._topk_phase(needles, np.asarray(overflow), results,
-                             pairs_dev, valid_dev, threshold, k, needle_batch)
+        # Saturation escalation: a hot needle whose list filled to k may
+        # have truncated hits, and a dropped (i, j) pair would make the
+        # mirror below silently lose j's only match.  Rescan saturated
+        # needles with growing k until every hot list is complete (rare:
+        # needs a duplicate cluster larger than k).
+        kk = k
+        sat = [i for i in hot if len(results[i][0]) >= kk]
+        pathological = False
+        while sat and kk < n:
+            kk = min(kk * 4, n, 1 << 16)
+            self._topk_phase(needles, np.asarray(sat), results, pairs_dev,
+                             valid_dev, threshold, kk, needle_batch)
+            sat = [i for i in sat if len(results[i][0]) >= kk]
+            if sat and kk >= 1 << 16:
+                pathological = True  # >65536-member duplicate cluster
+                break
+        if pathological:
+            # complete source lists are off the table — run the plain
+            # two-phase search for every row the triangle never scanned
+            cold = np.nonzero(counts == 0)[0]
+            for r, res in zip(cold, self.search(
+                    self._hashes[cold], threshold, k=k, min_hits=2)):
+                ids, ds = res
+                if (len(ids) == 1 and ids[0] == self._ids[r]
+                        and ds[0] == 0):  # lone self-hit ≠ a duplicate
+                    res = (ids[:0], ds[:0])
+                results[r] = res
+        else:
+            self._mirror_self_matches(results, hot, k)
+        for i in hot:  # restore the caller's k cap after escalation
+            ids, ds = results[i]
+            if len(ids) > k:
+                results[i] = (ids[:k], ds[:k])
+        if not pathological:
+            overflow = [r for r in np.nonzero(counts == 0)[0]
+                        if len(results[r][0]) >= k]
+            if overflow:  # mirrored ≥ k hits: mirror may have truncated
+                # differently than the needle's own top-k would — rescan
+                self._topk_phase(needles, np.asarray(overflow), results,
+                                 pairs_dev, valid_dev, threshold, k,
+                                 needle_batch)
         return results
 
     def _mirror_self_matches(self, results, hot, k):

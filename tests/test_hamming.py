@@ -160,9 +160,31 @@ def test_lanes_topk_streaming(rng):
     assert np.array_equal(np.asarray(d1), np.asarray(d2))
 
 
-def test_search_self_matches_search(rng):
-    """The triangular self-search path returns exactly what the plain
-    two-phase path returns for needles == store (N² -similar)."""
+def _single_device(monkeypatch):
+    """Force the single-device triangle path: the test conftest creates 8
+    virtual cpu devices, which would engage the sharded fallback and leave
+    search_self untested."""
+    from cbird_tpu.ops import hamming
+    monkeypatch.setattr(hamming, "_MESH", None)
+
+
+def _assert_self_parity(ref, tri):
+    """tri must equal the plain path except that needles whose only hit is
+    themselves are gated to empty (the plain small-n path reports the lone
+    self-hit; filterSelf drops it downstream either way)."""
+    assert len(ref) == len(tri)
+    for row, ((ri, rd), (ti, td)) in enumerate(zip(ref, tri)):
+        if len(ri) <= 1:
+            assert len(ti) == 0 or np.array_equal(ri, ti), row
+        else:
+            assert np.array_equal(ri, ti), row
+            assert np.array_equal(rd, td), row
+
+
+def test_search_self_matches_search(rng, monkeypatch):
+    """The triangular self-search path returns what the plain two-phase
+    path returns for needles == store (N² -similar)."""
+    _single_device(monkeypatch)
     n = 3000
     hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
     # plant dup clusters in both directions across block boundaries
@@ -172,16 +194,16 @@ def test_search_self_matches_search(rng):
     store = PackedHashStore(hashes, ids)
     ref = store.search(hashes, 5, k=64, min_hits=2)
     tri = store.search_self(5, k=64, rows=512, cols=1024, min_n=0)
-    assert len(ref) == len(tri)
-    for (ri, rd), (ti, td) in zip(ref, tri):
-        assert np.array_equal(ri, ti)
-        assert np.array_equal(rd, td)
+    _assert_self_parity(ref, tri)
     # hits exist and include a planted pair both directions
     assert 5 + 1 in tri[2900][0] and 2900 + 1 in tri[5][0]
+    # a mirrored-only needle (all its dups are earlier rows) keeps its hits
+    assert 2950 + 1 in tri[10][0] or 10 + 1 in tri[2950][0]
 
 
-def test_search_self_tombstones(rng):
+def test_search_self_tombstones(rng, monkeypatch):
     """Tombstoned rows neither match nor emit as needles in self-search."""
+    _single_device(monkeypatch)
     n = 2048
     hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
     hashes[7] = hashes[1000]  # exact dup pair
@@ -190,15 +212,16 @@ def test_search_self_tombstones(rng):
     store.remove([501, 1501])  # kill one dup pair entirely
     tri = store.search_self(5, k=16, rows=256, cols=512, min_n=0)
     ref = store.search(store.hashes, 5, k=16, min_hits=2)
-    for (ri, rd), (ti, td) in zip(ref, tri):
-        assert np.array_equal(ri, ti) and np.array_equal(rd, td)
+    _assert_self_parity(ref, tri)
     assert 1001 in tri[7][0] and 8 in tri[1000][0]
     assert len(tri[500][0]) == 0 and len(tri[1500][0]) == 0
 
 
-def test_search_self_big_cluster_overflow(rng):
-    """A duplicate cluster larger than k: mirrored-only needles must be
-    rescanned so their k nearest match the plain path exactly."""
+def test_search_self_big_cluster_overflow(rng, monkeypatch):
+    """A duplicate cluster larger than k: saturated source lists must be
+    escalated so mirrored-only needles (e.g. the cluster's last row) don't
+    silently lose their matches to the k cap."""
+    _single_device(monkeypatch)
     n = 2048
     k = 8
     hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
@@ -208,6 +231,7 @@ def test_search_self_big_cluster_overflow(rng):
     store = PackedHashStore(hashes, np.arange(1, n + 1, dtype=np.uint32))
     ref = store.search(hashes, 5, k=k, min_hits=2)
     tri = store.search_self(5, k=k, rows=256, cols=512, min_n=0)
-    for row, ((ri, rd), (ti, td)) in enumerate(zip(ref, tri)):
-        assert np.array_equal(ri, ti), row
-        assert np.array_equal(rd, td), row
+    _assert_self_parity(ref, tri)
+    # the last cluster row has only earlier duplicates and k-saturated
+    # sources: it must still see its k nearest
+    assert len(tri[130][0]) == k
