@@ -134,6 +134,22 @@ def hamming_count_below(needles: jnp.ndarray, haystack: jnp.ndarray,
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("cols",))
+def _count_tile(acc: jnp.ndarray, needles: jnp.ndarray, col_base: jnp.ndarray,
+                haystack: jnp.ndarray, valid: jnp.ndarray,
+                threshold: jnp.ndarray, cols: int):
+    """One [Q × cols] tile of the plain count phase: small fused tiles ran
+    ~1.6x faster per pair than a monolithic full-haystack block in the
+    2026-08 v5e sweep (see _self_count_tile), so the host loops tiles and
+    chains the accumulator on device — no readback until every tile of a
+    needle batch is queued."""
+    hs = jax.lax.dynamic_slice(haystack, (col_base, 0), (cols, 2))
+    vs = jax.lax.dynamic_slice(valid, (col_base,), (cols,))
+    d = _chunk_dists(needles[:, 0], needles[:, 1], hs[:, 0], hs[:, 1])
+    hit = (d < threshold) & vs[None, :]
+    return acc + hit.sum(axis=1, dtype=jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "masked"))
 def _self_count_tile(acc: jnp.ndarray, row_base: jnp.ndarray,
                      col_base: jnp.ndarray, haystack: jnp.ndarray,
@@ -283,9 +299,15 @@ class PackedHashStore:
             from ..parallel.sharded import sharded_count_below
             return sharded_count_below(mesh, jnp.asarray(nb), pairs_dev,
                                        valid_dev, threshold)
-        return hamming_count_below(jnp.asarray(nb), pairs_dev, valid_dev,
-                                   jnp.int32(threshold),
-                                   chunk=min(1 << 21, pairs_dev.shape[0]))
+        n_pad = pairs_dev.shape[0]
+        cols = min(1 << 16 if n_pad <= 1 << 20 else 1 << 17, n_pad)
+        nb_dev = jnp.asarray(nb)
+        acc = jnp.zeros(nb_dev.shape[0], jnp.int32)
+        t = jnp.int32(threshold)
+        for cb in range(0, n_pad, cols):
+            acc = _count_tile(acc, nb_dev, jnp.int32(cb), pairs_dev,
+                              valid_dev, t, cols=cols)
+        return acc
 
     @staticmethod
     def _topk_call(nb, pairs_dev, valid_dev, k):
@@ -349,7 +371,7 @@ class PackedHashStore:
                                 threshold, k, needle_batch)
 
     def search_self(self, threshold: int, k: int = 64,
-                    needle_batch: int = 1024, rows: int = 16384,
+                    needle_batch: int = 1024, rows: int = 0,
                     cols: int = 0, min_n: int = 1 << 16):
         """N² self-search: every store row queried against the whole store,
         equivalent to ``search(self.hashes, threshold, k, min_hits=2)`` but
@@ -369,12 +391,16 @@ class PackedHashStore:
             return self.search(self._hashes, threshold, k, min_hits=2)
         pairs_dev, valid_dev = self._device_arrays()
         n_pad = pairs_dev.shape[0]
+        # tile shape (2026-08 sweep on v5e, 500k/2M): small col tiles beat
+        # wide ones ~1.6x per pair (a [16384 x 2^19] monolith runs in a
+        # slower regime), and wider row blocks amortize dispatches; skip
+        # granularity only needs cols << n_pad
+        if not rows:
+            rows = 16384 if n_pad <= 1 << 20 else 32768
+        if not cols:
+            cols = 1 << 16 if n_pad <= 1 << 20 else 1 << 17
         rows = min(rows, n_pad)        # all divide n_pad: powers of two
-        if not cols:                   # (≤2^21) or multiples of 2^21
-            # col-tile width trades skip granularity (smaller = closer to
-            # the ideal 50%) against per-dispatch overhead (larger = fewer)
-            cols = 1 << 16 if n_pad <= 1 << 20 else 1 << 19
-        cols = min(cols, n_pad)
+        cols = min(cols, n_pad)        # (≤2^21) or multiples of 2^21
         thresh_dev = jnp.int32(threshold)
         k = min(k, n)
         # launch every on/above-diagonal tile asynchronously, sync once

@@ -235,3 +235,17 @@ def test_search_self_big_cluster_overflow(rng, monkeypatch):
     # the last cluster row has only earlier duplicates and k-saturated
     # sources: it must still see its k nearest
     assert len(tri[130][0]) == k
+
+
+def test_store_search_count_phase_gate(rng):
+    """Stores above the count-phase gate (n > 4096, q > 64): the tiled
+    count must gate exactly the needles with a non-self hit."""
+    n = 6000
+    hashes = _rand_hashes(rng, n)
+    hashes[5000] = hashes[17] ^ np.uint64(1 << 3)
+    store = PackedHashStore(hashes, np.arange(1, n + 1, dtype=np.uint32))
+    res = store.search(hashes, 5, k=16, min_hits=2)
+    assert [i for i, (ids, _) in enumerate(res) if len(ids)] == [17, 5000]
+    assert set(res[17][0]) == {18, 5001}
+    assert set(res[5000][0]) == {18, 5001}
+    assert np.array_equal(res[17][1], np.array([0, 1], np.int32))
