@@ -128,7 +128,9 @@ async function load(p) {
                 (m.video && g.items[0].video ?
                  '<button onclick="compare(' + needleId + ',' + m.id + ')">compare</button>' : '')
               : '') +
-         (m.weed ? '<button onclick="act(\\'unweed\\',' + m.id + ')">unweed</button>' : ''));
+         (m.weed ? '<button onclick="act(\\'unweed\\',' + m.id + ')">unweed</button>' : '') +
+         '<button onclick="act(\\'open\\',' + m.id + ')">open</button>' +
+         '<button onclick="act(\\'reveal\\',' + m.id + ')">reveal</button>');
       row.appendChild(it);
     }
     gd.appendChild(row);
@@ -250,6 +252,22 @@ class BrowserState:
             self.db.remove([mid])
             self.removed.add(mid)
         return None
+
+    def open(self, mid: int) -> str | None:
+        """Open with the desktop default app (GUI Open action parity)."""
+        from .commands import open_path
+        m = self.media(mid)
+        if m is None:
+            return "unknown media id"
+        return None if open_path(m.path) else "no desktop launcher"
+
+    def reveal(self, mid: int) -> str | None:
+        """Reveal in the file manager (GUI 'Open location' parity)."""
+        from .commands import reveal_path
+        m = self.media(mid)
+        if m is None:
+            return "unknown media id"
+        return None if reveal_path(m.path) else "no file manager"
 
     def weed(self, mid: int, original_id: int) -> str | None:
         m, orig = self.media(mid), self.media(original_id)
@@ -457,6 +475,10 @@ class _Handler(BaseHTTPRequestHandler):
             err = s.unweed(mid)
         elif url.path == "/api/negative":
             err = s.negative(mid, other)
+        elif url.path == "/api/open":
+            err = s.open(mid)
+        elif url.path == "/api/reveal":
+            err = s.reveal(mid)
         elif url.path == "/api/update":
             err = s.start_update()
         elif url.path == "/api/update_status":

@@ -254,6 +254,56 @@ def trash_file(path: str) -> bool:
         return False
 
 
+def open_path(path: str) -> bool:
+    """Open a file with the desktop default application (reference
+    DesktopHelper::openImage 'Desktop Default' preset,
+    /root/reference/src/qtutil.cpp:416-446).  ``CBIRD_OPEN_CMD`` overrides
+    the launcher, mirroring the reference's configurable program table."""
+    import subprocess
+    override = os.environ.get("CBIRD_OPEN_CMD")
+    if override:
+        cmd = override.split() + [path]
+    else:
+        for launcher in ("xdg-open", "open", "start"):
+            if shutil.which(launcher):
+                cmd = [launcher, path]
+                break
+        else:
+            warn("open: no desktop launcher found (set CBIRD_OPEN_CMD)")
+            return False
+    try:
+        subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+        return True
+    except OSError as e:
+        warn(f"open: {e}")
+        return False
+
+
+def reveal_path(path: str) -> bool:
+    """Reveal a file in the system file manager, selecting it when the
+    manager supports it (reference DesktopHelper::revealPath,
+    /root/reference/src/qtutil.cpp:379-415).  ``CBIRD_REVEAL_CMD``
+    overrides; otherwise try select-capable managers, then fall back to
+    opening the containing directory (the reference's DesktopServices
+    fallback opens the dir too)."""
+    import subprocess
+    override = os.environ.get("CBIRD_REVEAL_CMD")
+    candidates = ([override.split() + [path]] if override else
+                  [["nautilus", "-s", path],
+                   ["dolphin", "--select", path],
+                   ["open", "-R", path]])
+    for cmd in candidates:
+        if shutil.which(cmd[0]):
+            try:
+                subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.DEVNULL)
+                return True
+            except OSError:
+                continue
+    return open_path(os.path.dirname(os.path.abspath(path)) or ".")
+
+
 def nuke(db, selection: list[Media]) -> int:
     """Delete selected files (trash) and drop them from the index."""
     removed_ids = []

@@ -218,3 +218,62 @@ def test_browser_video_compare(tmp_path):
         server.shutdown()
         thread.join(timeout=5)
         eng.db.close()
+
+
+def test_browser_open_reveal(browser, monkeypatch):
+    """GUI Open / Open-location parity: /api/open and /api/reveal launch
+    the configured desktop commands (reference DesktopHelper::openImage /
+    revealPath, src/qtutil.cpp:379-446)."""
+    import cbird_tpu.cli.commands as commands
+
+    launched = []
+    monkeypatch.setattr(commands, "_test_popen", None, raising=False)
+
+    class FakeProc:
+        pass
+
+    def fake_popen(cmd, **kw):
+        launched.append(cmd)
+        return FakeProc()
+
+    monkeypatch.setattr("subprocess.Popen", fake_popen)
+    monkeypatch.setenv("CBIRD_OPEN_CMD", "my-viewer --flag")
+    monkeypatch.setenv("CBIRD_REVEAL_CMD", "my-fm --select")
+    monkeypatch.setattr("shutil.which", lambda name: "/usr/bin/" + name)
+
+    eng, groups, url = browser
+    _, data = _get(url + "api/groups?page=0")
+    mid = json.loads(data)["groups"][0]["items"][0]["id"]
+    status, resp = _post(url + "api/open", {"id": mid})
+    assert status == 200 and resp.get("ok")
+    status, resp = _post(url + "api/reveal", {"id": mid})
+    assert status == 200 and resp.get("ok")
+    assert launched[0][:2] == ["my-viewer", "--flag"]
+    assert launched[1][:2] == ["my-fm", "--select"]
+    assert launched[0][2] == launched[1][2]  # both got the media path
+    status, resp = _post(url + "api/open", {"id": 999999})
+    assert status == 400
+
+
+def test_open_reveal_fallbacks(monkeypatch, tmp_path):
+    """reveal_path falls back to opening the parent dir when no
+    select-capable file manager exists."""
+    from cbird_tpu.cli.commands import open_path, reveal_path
+
+    launched = []
+    monkeypatch.setattr("subprocess.Popen",
+                        lambda cmd, **kw: launched.append(cmd))
+    monkeypatch.delenv("CBIRD_OPEN_CMD", raising=False)
+    monkeypatch.delenv("CBIRD_REVEAL_CMD", raising=False)
+    f = tmp_path / "x.png"
+    f.write_bytes(b"p")
+
+    monkeypatch.setattr("shutil.which",
+                        lambda name: "/usr/bin/xdg-open" if name == "xdg-open" else None)
+    assert open_path(str(f))
+    assert launched[-1] == ["xdg-open", str(f)]
+    assert reveal_path(str(f))  # no nautilus/dolphin → xdg-open parent dir
+    assert launched[-1] == ["xdg-open", str(tmp_path)]
+
+    monkeypatch.setattr("shutil.which", lambda name: None)
+    assert not open_path(str(f))
