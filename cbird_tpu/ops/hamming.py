@@ -233,6 +233,7 @@ class PackedHashStore:
         self._hashes = np.zeros(0, dtype=np.uint64)
         self._ids = np.zeros(0, dtype=np.uint32)
         self._dev = None  # (hashes [N,2] u32, valid [N] bool) on device
+        self._dev_rep = None  # replicated copy for sharded self-search
         if hashes is not None and len(hashes):
             self._hashes = np.asarray(hashes, dtype=np.uint64).copy()
             self._ids = np.asarray(ids, dtype=np.uint32).copy()
@@ -258,6 +259,7 @@ class PackedHashStore:
             [self._hashes, np.asarray(hashes, dtype=np.uint64)])
         self._ids = np.concatenate([self._ids, np.asarray(ids, dtype=np.uint32)])
         self._dev = None
+        self._dev_rep = None
 
     def remove(self, ids) -> None:
         """Tombstone by media id (reference zeroes id+hash, keeps the slot)."""
@@ -268,29 +270,48 @@ class PackedHashStore:
             self._ids[kill] = 0
             self._hashes[kill] = 0
             self._dev = None
+            self._dev_rep = None
 
     def slice(self, media_ids) -> "PackedHashStore":
         keep = np.isin(self._ids, np.asarray(list(media_ids), dtype=np.uint32))
         keep &= self._ids != 0
         return PackedHashStore(self._hashes[keep], self._ids[keep])
 
+    def _host_bucket_arrays(self):
+        mesh = _search_mesh()
+        shards = mesh.devices.shape[1] if mesh is not None else 1
+        n = len(self._hashes)
+        b = _bucket(max(n, 1), multiple=shards)
+        pairs = np.zeros((b, 2), dtype=np.uint32)
+        valid = np.zeros(b, dtype=bool)
+        if n:
+            pairs[:n] = split_u64(self._hashes)
+            valid[:n] = self._ids != 0
+        return pairs, valid
+
     def _device_arrays(self):
         if self._dev is None:
             mesh = _search_mesh()
-            shards = mesh.devices.shape[1] if mesh is not None else 1
-            n = len(self._hashes)
-            b = _bucket(max(n, 1), multiple=shards)
-            pairs = np.zeros((b, 2), dtype=np.uint32)
-            valid = np.zeros(b, dtype=bool)
-            if n:
-                pairs[:n] = split_u64(self._hashes)
-                valid[:n] = self._ids != 0
+            pairs, valid = self._host_bucket_arrays()
             if mesh is not None:
                 from ..parallel.sharded import shard_index_arrays
                 self._dev = shard_index_arrays(mesh, pairs, valid)
             else:
                 self._dev = (jnp.asarray(pairs), jnp.asarray(valid))
         return self._dev
+
+    def _device_arrays_replicated(self):
+        """Fully-replicated copy for the balanced sharded self-search
+        (sharded_self_count): any chip can process any tile.  Cached
+        separately from the index-sharded arrays used by plain queries."""
+        if getattr(self, "_dev_rep", None) is None:
+            mesh = _search_mesh()
+            pairs, valid = self._host_bucket_arrays()
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+            self._dev_rep = (jax.device_put(pairs, rep),
+                             jax.device_put(valid, rep))
+        return self._dev_rep
 
     @staticmethod
     def _count_call(nb, pairs_dev, valid_dev, threshold):
@@ -376,7 +397,7 @@ class PackedHashStore:
         """N² self-search: every store row queried against the whole store,
         equivalent to ``search(self.hashes, threshold, k, min_hits=2)`` but
         with the count phase run over the upper triangle only (the matrix
-        is symmetric — see _self_count_step), ~2x less scan work.  Needles
+        is symmetric — see _self_count_tile), ~2x less scan work.  Needles
         whose duplicates are all *earlier* rows are never row-hot; their
         results are mirrored out of the hot needles' full scans (every
         (i, j) hit has a hot i).  Used by -similar when the needle set IS
@@ -385,9 +406,11 @@ class PackedHashStore:
         if n == 0:
             return []
         mesh = _search_mesh()
-        if mesh is not None or n <= min_n:
-            # sharded triangle would need cross-shard hot-set merging;
-            # small stores are count-phase-cheap anyway — use the plain path
+        if n <= min_n or (mesh is not None and n > 1 << 28):
+            # small stores are count-phase-cheap — plain path; gigantic
+            # stores can't replicate per chip for the balanced sharded
+            # triangle (beyond ~2GB/chip the index-sharded scan wins on
+            # capacity)
             return self.search(self._hashes, threshold, k, min_hits=2)
         pairs_dev, valid_dev = self._device_arrays()
         n_pad = pairs_dev.shape[0]
@@ -403,19 +426,27 @@ class PackedHashStore:
         cols = min(cols, n_pad)        # (≤2^21) or multiples of 2^21
         thresh_dev = jnp.int32(threshold)
         k = min(k, n)
-        # launch every on/above-diagonal tile asynchronously, sync once
-        row_parts = []
-        for rb in range(0, n_pad, rows):
-            acc = jnp.zeros(rows, jnp.int32)
-            for cb in range(0, n_pad, cols):
-                if cb + cols <= rb:
-                    continue  # tile entirely below the diagonal
-                acc = _self_count_tile(acc, jnp.int32(rb), jnp.int32(cb),
-                                       pairs_dev, valid_dev, thresh_dev,
-                                       rows=rows, cols=cols,
-                                       masked=cb < rb + rows)
-            row_parts.append(acc)
-        counts = np.concatenate(jax.device_get(row_parts))[:n]
+        if mesh is not None:
+            # balanced multi-chip triangle: replicated haystack, one tile
+            # per chip per step, per-chip local count state
+            from ..parallel.sharded import sharded_self_count
+            pairs_rep, valid_rep = self._device_arrays_replicated()
+            counts = sharded_self_count(mesh, pairs_rep, valid_rep,
+                                        threshold, rows, cols)[:n]
+        else:
+            # launch every on/above-diagonal tile asynchronously, sync once
+            row_parts = []
+            for rb in range(0, n_pad, rows):
+                acc = jnp.zeros(rows, jnp.int32)
+                for cb in range(0, n_pad, cols):
+                    if cb + cols <= rb:
+                        continue  # tile entirely below the diagonal
+                    acc = _self_count_tile(acc, jnp.int32(rb), jnp.int32(cb),
+                                           pairs_dev, valid_dev, thresh_dev,
+                                           rows=rows, cols=cols,
+                                           masked=cb < rb + rows)
+                row_parts.append(acc)
+            counts = np.concatenate(jax.device_get(row_parts))[:n]
         empty = (np.zeros(0, np.uint32), np.zeros(0, np.int32))
         results: list = [empty] * n
         hot = np.nonzero(counts >= 1)[0]  # ≥1 neighbor at a LATER row

@@ -270,3 +270,97 @@ def sharded_count_below(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
         return jax.lax.psum(local, idx_axis)
 
     return run(needles, haystack, valid, jnp.asarray([threshold], jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# triangular N² self-search count phase over all mesh devices
+# ---------------------------------------------------------------------------
+
+_SELF_COUNT_CACHE: dict = {}
+
+
+def _self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
+    """Build (and cache) the per-step program for sharded_self_count: every
+    chip processes one [rows × cols] tile of the replicated haystack and
+    accumulates row counts into its local slice of the state array."""
+    key = (id(mesh), rows, cols, span)
+    fn = _SELF_COUNT_CACHE.get(key)
+    if fn is not None:
+        return fn
+    ax = tuple(mesh.axis_names)  # flatten both axes: one tile per device
+
+    def run(st, off, rb, cb, h, v, t):
+        # st [1, span] local counts; off/rb/cb [1] this chip's assignment
+        nb = jax.lax.dynamic_slice(h, (rb[0], 0), (rows, 2))
+        rv = jax.lax.dynamic_slice(v, (rb[0],), (rows,))
+        cb0 = jnp.maximum(cb[0], 0)  # cb < 0 = idle padding step
+        hs = jax.lax.dynamic_slice(h, (cb0, 0), (cols, 2))
+        vs = jax.lax.dynamic_slice(v, (cb0,), (cols,))
+        d = _chunk_dists(nb[:, 0], nb[:, 1], hs[:, 0], hs[:, 1])
+        hit = (d < t) & (vs & rv[:, None])
+        # strict upper triangle: j > i excludes self-pairs and the
+        # below-diagonal corner of the one diagonal-straddling tile
+        hit &= (cb0 + jnp.arange(cols, dtype=jnp.int32))[None, :] \
+            > (rb[0] + jnp.arange(rows, dtype=jnp.int32))[:, None]
+        hit &= cb[0] >= 0
+        inc = hit.sum(axis=1, dtype=jnp.int32)
+        seg = jax.lax.dynamic_slice(st, (0, off[0]), (1, rows))
+        return jax.lax.dynamic_update_slice(st, seg + inc[None], (0, off[0]))
+
+    sm = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(ax, None), P(ax), P(ax), P(ax), P(), P(), P()),
+        out_specs=P(ax, None), check_vma=False)
+    fn = jax.jit(sm, donate_argnums=(0,))
+    _SELF_COUNT_CACHE[key] = fn
+    return fn
+
+
+def sharded_self_count(mesh: Mesh, haystack_rep: jnp.ndarray,
+                       valid_rep: jnp.ndarray, threshold: int,
+                       rows: int, cols: int) -> np.ndarray:
+    """Triangular self-search count phase, balanced over all mesh devices.
+
+    The haystack is REPLICATED (capacity = one chip's HBM; beyond that the
+    caller falls back to the plain index-sharded scan) so any chip can
+    process any tile.  All live (on/above-diagonal) tiles cost the same
+    [rows × cols] work, so balance is just interleaved block ownership:
+    block b → chip b mod C.  Each chip chains its row counts in a local
+    slice of a donated [C, span] state array — no cross-chip collective at
+    all; one readback at the end.
+
+    @return counts [n_pad] int32 — per store row #{j > i: dist < threshold}
+    """
+    n_pad = haystack_rep.shape[0]
+    devs = int(np.prod(mesh.devices.shape))
+    blocks = list(range(0, n_pad, rows))
+    span_blocks = -(-len(blocks) // devs)
+    span = span_blocks * rows
+    seqs: list[list] = [[] for _ in range(devs)]
+    for i, rb in enumerate(blocks):
+        c, slot = i % devs, i // devs
+        for cb in range(rb // cols * cols, n_pad, cols):
+            seqs[c].append((slot * rows, rb, cb))
+    steps = max(len(s) for s in seqs)
+    for s in seqs:
+        s.extend([(0, 0, -1)] * (steps - len(s)))
+
+    ax = tuple(mesh.axis_names)
+    sharded_vec = NamedSharding(mesh, P(ax))
+    state = jax.device_put(np.zeros((devs, span), np.int32),
+                           NamedSharding(mesh, P(ax, None)))
+    step = _self_count_step_fn(mesh, rows, cols, span)
+    t = jnp.int32(threshold)
+    for i in range(steps):
+        offs, rbs, cbs = (np.array([s[i][j] for s in seqs], np.int32)
+                          for j in range(3))
+        state = step(state, jax.device_put(offs, sharded_vec),
+                     jax.device_put(rbs, sharded_vec),
+                     jax.device_put(cbs, sharded_vec),
+                     haystack_rep, valid_rep, t)
+    host = jax.device_get(state)
+    counts = np.zeros(n_pad, np.int32)
+    for i, rb in enumerate(blocks):
+        c, slot = i % devs, i // devs
+        counts[rb:rb + rows] = host[c, slot * rows:(slot + 1) * rows]
+    return counts

@@ -249,3 +249,23 @@ def test_store_search_count_phase_gate(rng):
     assert set(res[17][0]) == {18, 5001}
     assert set(res[5000][0]) == {18, 5001}
     assert np.array_equal(res[17][1], np.array([0, 1], np.int32))
+
+
+def test_search_self_sharded_matches_plain(rng):
+    """On a multi-device mesh (the conftest provides 8 virtual cpu
+    devices) search_self runs the balanced sharded triangle: replicated
+    haystack, one tile per chip per step, per-chip local counts
+    (parallel/sharded.py sharded_self_count).  Results must match the
+    plain sharded path."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    n = 3000
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
+        hashes[dst] = hashes[src] ^ np.uint64(1 << int(rng.integers(0, 64)))
+    store = PackedHashStore(hashes, np.arange(1, n + 1, dtype=np.uint32))
+    ref = store.search(hashes, 5, k=64, min_hits=2)
+    tri = store.search_self(5, k=64, rows=512, cols=1024, min_n=0)
+    _assert_self_parity(ref, tri)
+    assert 5 + 1 in tri[2900][0] and 2950 + 1 in tri[10][0]
