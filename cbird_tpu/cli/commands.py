@@ -259,10 +259,11 @@ def open_path(path: str) -> bool:
     DesktopHelper::openImage 'Desktop Default' preset,
     /root/reference/src/qtutil.cpp:416-446).  ``CBIRD_OPEN_CMD`` overrides
     the launcher, mirroring the reference's configurable program table."""
+    import shlex
     import subprocess
     override = os.environ.get("CBIRD_OPEN_CMD")
     if override:
-        cmd = override.split() + [path]
+        cmd = shlex.split(override) + [path]
     else:
         for launcher in ("xdg-open", "open", "start"):
             if shutil.which(launcher):
@@ -287,9 +288,10 @@ def reveal_path(path: str) -> bool:
     overrides; otherwise try select-capable managers, then fall back to
     opening the containing directory (the reference's DesktopServices
     fallback opens the dir too)."""
+    import shlex
     import subprocess
     override = os.environ.get("CBIRD_REVEAL_CMD")
-    candidates = ([override.split() + [path]] if override else
+    candidates = ([shlex.split(override) + [path]] if override else
                   [["nautilus", "-s", path],
                    ["dolphin", "--select", path],
                    ["open", "-R", path]])

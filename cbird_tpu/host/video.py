@@ -127,10 +127,19 @@ class FfmpegBackend:
     def available() -> bool:
         return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
 
+    @staticmethod
+    def _parse_rate(rate) -> float:
+        num, _, den = str(rate or "").partition("/")
+        try:
+            return float(num) / float(den or 1)
+        except (ValueError, ZeroDivisionError):  # "", "abc", "0/0"
+            return 0.0
+
     def probe(self, path: str) -> dict:
         out = subprocess.run(
             ["ffprobe", "-v", "error", "-select_streams", "v:0",
-             "-show_entries", "stream=width,height,r_frame_rate,duration,start_time",
+             "-show_entries",
+             "stream=width,height,r_frame_rate,avg_frame_rate,duration,start_time",
              "-of", "json", path],
             capture_output=True, text=True, timeout=60).stdout
         import json
@@ -138,20 +147,21 @@ class FfmpegBackend:
             st = json.loads(out)["streams"][0]
         except (ValueError, KeyError, IndexError):
             st = {}
-        num, _, den = str(st.get("r_frame_rate", "")).partition("/")
-        try:
-            fps = float(num) / float(den or 1)
-        except ValueError:
-            fps = 25.0
+        fps = self._parse_rate(st.get("r_frame_rate"))
+        avg = self._parse_rate(st.get("avg_frame_rate"))
 
         def _f(key):
             try:
                 return float(st.get(key))
             except (TypeError, ValueError):
                 return 0.0
+        # "fps" stays 0.0 when the stream doesn't report a rate — the -ss
+        # seek ladder must never compute a frame→time mapping from a
+        # made-up 25.0 (a real 60 fps file would land 2.4x off); display
+        # consumers fall back to 25 themselves
         return {"width": int(st.get("width", 0) or 0),
                 "height": int(st.get("height", 0) or 0),
-                "fps": fps or 25.0, "duration": _f("duration"),
+                "fps": fps, "avg_fps": avg, "duration": _f("duration"),
                 "start_time": _f("start_time")}
 
     def frames(self, path: str, max_side: int = DECODE_MAX_SIDE,
@@ -164,8 +174,15 @@ class FfmpegBackend:
             return
         scale = min(1.0, max_side / max(w, h))
         ow, oh = max(2, int(w * scale) // 2 * 2), max(2, int(h * scale) // 2 * 2)
+        # the time-based -ss seek assumes constant frame rate; when the
+        # container's nominal and measured rates disagree (VFR screen
+        # recordings etc.) force fps=0 so decode_cmd uses the exact
+        # frame-number select from 0 instead of landing on wrong frames
+        fps, avg = meta["fps"], meta.get("avg_fps", 0.0)
+        seek_fps = fps if (fps > 0 and avg > 0
+                           and abs(fps - avg) <= 0.001 * fps) else 0.0
         proc = subprocess.Popen(
-            decode_cmd(path, ow, oh, start=start, fps=meta["fps"],
+            decode_cmd(path, ow, oh, start=start, fps=seek_fps,
                        start_time=meta.get("start_time", 0.0)),
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
         frame_bytes = ow * oh

@@ -277,9 +277,14 @@ class PackedHashStore:
         keep &= self._ids != 0
         return PackedHashStore(self._hashes[keep], self._ids[keep])
 
-    def _host_bucket_arrays(self):
+    def _host_bucket_arrays(self, shard_multiple: bool = True):
+        """@param shard_multiple pad to a multiple of the index-axis shard
+        count (required for index-sharded placement; the replicated
+        self-search copy must NOT use it — a 3- or 6-shard mesh would
+        produce a bucket the power-of-two count tiles don't divide)."""
         mesh = _search_mesh()
-        shards = mesh.devices.shape[1] if mesh is not None else 1
+        shards = (mesh.devices.shape[1]
+                  if shard_multiple and mesh is not None else 1)
         n = len(self._hashes)
         b = _bucket(max(n, 1), multiple=shards)
         pairs = np.zeros((b, 2), dtype=np.uint32)
@@ -306,7 +311,7 @@ class PackedHashStore:
         separately from the index-sharded arrays used by plain queries."""
         if getattr(self, "_dev_rep", None) is None:
             mesh = _search_mesh()
-            pairs, valid = self._host_bucket_arrays()
+            pairs, valid = self._host_bucket_arrays(shard_multiple=False)
             from jax.sharding import NamedSharding, PartitionSpec
             rep = NamedSharding(mesh, PartitionSpec())
             self._dev_rep = (jax.device_put(pairs, rep),
@@ -413,7 +418,14 @@ class PackedHashStore:
             # capacity)
             return self.search(self._hashes, threshold, k, min_hits=2)
         pairs_dev, valid_dev = self._device_arrays()
-        n_pad = pairs_dev.shape[0]
+        if mesh is not None:
+            # balanced multi-chip triangle: replicated haystack (bucketed
+            # without the shard multiple so the power-of-two tiles divide
+            # it), one tile per chip per step, per-chip local count state
+            pairs_rep, valid_rep = self._device_arrays_replicated()
+            n_pad = pairs_rep.shape[0]
+        else:
+            n_pad = pairs_dev.shape[0]
         # tile shape (2026-08 sweep on v5e, 500k/2M): small col tiles beat
         # wide ones ~1.6x per pair (a [16384 x 2^19] monolith runs in a
         # slower regime), and wider row blocks amortize dispatches; skip
@@ -427,10 +439,7 @@ class PackedHashStore:
         thresh_dev = jnp.int32(threshold)
         k = min(k, n)
         if mesh is not None:
-            # balanced multi-chip triangle: replicated haystack, one tile
-            # per chip per step, per-chip local count state
             from ..parallel.sharded import sharded_self_count
-            pairs_rep, valid_rep = self._device_arrays_replicated()
             counts = sharded_self_count(mesh, pairs_rep, valid_rep,
                                         threshold, rows, cols)[:n]
         else:
@@ -483,13 +492,16 @@ class PackedHashStore:
                     res = (ids[:0], ds[:0])
                 results[r] = res
         else:
-            self._mirror_self_matches(results, hot, k)
+            mirrored_rows = self._mirror_self_matches(results, hot, k)
         for i in hot:  # restore the caller's k cap after escalation
             ids, ds = results[i]
             if len(ids) > k:
                 results[i] = (ids[:k], ds[:k])
-        if not pathological:
-            overflow = [r for r in np.nonzero(counts == 0)[0]
+        if not pathological and mirrored_rows:
+            # a row never scanned itself stays empty, so only mirror
+            # targets can overflow (a full O(N) sweep here would cost more
+            # host time than the whole count phase at 100M rows)
+            overflow = [r for r in mirrored_rows
                         if len(results[r][0]) >= k]
             if overflow:  # mirrored ≥ k hits: mirror may have truncated
                 # differently than the needle's own top-k would — rescan
@@ -503,7 +515,8 @@ class PackedHashStore:
         i, add the symmetric (j, i) hit to j's results if j wasn't scanned
         itself (store ids must be unique — true for Database ids).
         Mirrored lists gain the target's own self-match (distance 0) and
-        are ordered like a scan: ascending distance, ties by store row."""
+        are ordered like a scan: ascending distance, ties by store row.
+        @return list of target rows that received mirrored results"""
         src_parts, id_parts, d_parts = [], [], []
         for i in hot:
             ids, dists = results[i]
@@ -512,7 +525,7 @@ class PackedHashStore:
                 id_parts.append(ids)
                 d_parts.append(dists)
         if not src_parts:
-            return
+            return []
         src = np.concatenate(src_parts)
         hit_ids = np.concatenate(id_parts)
         d = np.concatenate(d_parts)
@@ -529,12 +542,13 @@ class PackedHashStore:
         keep = ((sorted_ids[pos] == hit_ids) & (tgt != src) & ~hot_mask[tgt])
         sel = np.nonzero(keep)[0]
         if not len(sel):
-            return
+            return []
         tgt, d, src = tgt[sel], d[sel], src[sel]
         by_tgt = np.lexsort((src, d, tgt))
         tgt, d, src = tgt[by_tgt], d[by_tgt], src[by_tgt]
         starts = np.nonzero(np.r_[True, tgt[1:] != tgt[:-1]])[0]
         bounds = np.r_[starts[1:], len(tgt)]
+        filled = []
         for s0, s1 in zip(starts, bounds):
             r = int(tgt[s0])
             ds = np.r_[np.int32(0), d[s0:s1]]       # own self-match first
@@ -542,6 +556,8 @@ class PackedHashStore:
             o = np.lexsort((rows, ds))[:k]
             results[r] = (self._ids[rows[o]].astype(np.uint32),
                           ds[o].astype(np.int32))
+            filled.append(r)
+        return filled
 
     def _topk_phase(self, needles, hot, results, pairs_dev, valid_dev,
                     threshold, k, needle_batch):

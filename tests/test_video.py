@@ -449,3 +449,53 @@ def test_decode_cmd_seek_ladder():
     cmd = decode_cmd("v.mp4", 128, 72, start=100000, fps=0.0)
     assert "-ss" not in cmd
     assert "select=gte(n\\,100000)," in cmd[cmd.index("-vf") + 1]
+
+
+def test_ffmpeg_rate_parse_and_vfr_guard(monkeypatch):
+    """probe's rate parser survives '0/0' (mjpeg cover art) and unknown
+    rates stay 0.0 (never a fabricated 25 driving a blind -ss seek);
+    frames() falls back to the exact frame-number select when nominal and
+    measured rates disagree (VFR content)."""
+    from cbird_tpu.host.video import FfmpegBackend
+
+    assert FfmpegBackend._parse_rate("0/0") == 0.0
+    assert FfmpegBackend._parse_rate("") == 0.0
+    assert FfmpegBackend._parse_rate(None) == 0.0
+    assert FfmpegBackend._parse_rate("30000/1001") == pytest.approx(29.97, abs=0.01)
+    assert FfmpegBackend._parse_rate("25") == 25.0
+
+    captured = {}
+
+    class FakeStdout:
+        @staticmethod
+        def read(n):
+            return b""
+
+        @staticmethod
+        def close():
+            pass
+
+    class FakeProc:
+        stdout = FakeStdout()
+
+        @staticmethod
+        def wait():
+            pass
+
+    monkeypatch.setattr("subprocess.Popen",
+                        lambda cmd, **kw: captured.update(cmd=cmd) or FakeProc())
+    meta = {"width": 1280, "height": 720, "fps": 30.0, "avg_fps": 27.5,
+            "duration": 600.0, "start_time": 0.0}
+    monkeypatch.setattr(FfmpegBackend, "probe", lambda self, p: dict(meta))
+    be = FfmpegBackend()
+    list(be.frames("v.mp4", start=25000))
+    vf = captured["cmd"][captured["cmd"].index("-vf") + 1]
+    assert "-ss" not in captured["cmd"] and "select=gte(n\\,25000)," in vf
+
+    meta["avg_fps"] = 30.0  # CFR: keyframe seek engages
+    list(be.frames("v.mp4", start=25000))
+    assert "-ss" in captured["cmd"]
+
+    meta["fps"] = meta["avg_fps"] = 0.0  # unknown rate: exact select
+    list(be.frames("v.mp4", start=25000))
+    assert "-ss" not in captured["cmd"]
