@@ -269,3 +269,4 @@ def test_search_self_sharded_matches_plain(rng):
     tri = store.search_self(5, k=64, rows=512, cols=1024, min_n=0)
     _assert_self_parity(ref, tri)
     assert 5 + 1 in tri[2900][0] and 2950 + 1 in tri[10][0]
+
