@@ -148,7 +148,7 @@ def bench_n2(n=500_000, dups=2_000):
     idx.add(media)
     sp = SearchParams()
     needles = media
-    idx.find_batch(needles[:1024], sp)  # compile small shapes
+    idx.find_batch(needles, sp)  # warm run: compiles the triangle tiles
     t0 = time.perf_counter()
     all_matches = idx.find_batch(needles, sp)
     dt = time.perf_counter() - t0

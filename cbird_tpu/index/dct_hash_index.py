@@ -21,6 +21,10 @@ from ..store.media import Media
 from .base import Index, Match
 
 
+# below this, rebuilding from SQL is as fast as reading the sidecar cache
+CACHE_MIN_ROWS = 4096
+
+
 class DctHashIndex(Index):
     id = SearchParams.ALGO_DCT
 
@@ -50,6 +54,16 @@ class DctHashIndex(Index):
 
     # ---- memory lifecycle ------------------------------------------------
     def load(self, conn, cache_path: str, data_path: str) -> None:
+        # flat sidecar cache like the feature indexes (index/cache.py):
+        # reading 10M+ hashes row-by-row from SQL costs minutes, the
+        # packed arrays load in a second (reference keeps dct in SQL only,
+        # src/dcthashindex.cpp:70-114 — its scale stops around 500k)
+        from .cache import load_cache, save_cache
+        cached = load_cache(cache_path, "dcthash", conn)
+        if cached is not None and {"ids", "hashes"} <= set(cached):
+            self._store = PackedHashStore(cached["hashes"], cached["ids"])
+            self._loaded = True
+            return
         rows = conn.execute(
             "select id, phash_dct from media where type=? and phash_dct != 0",
             (TYPE_IMAGE,)).fetchall()
@@ -58,6 +72,8 @@ class DctHashIndex(Index):
                           dtype=np.uint64)
         self._store = PackedHashStore(hashes, ids)
         self._loaded = True
+        if len(ids) >= CACHE_MIN_ROWS:  # small ones reload from SQL fast
+            save_cache(cache_path, "dcthash", ids=ids, hashes=hashes)
 
     def add(self, media: list[Media]) -> None:
         items = [(m.id, np.uint64(m.dctHash)) for m in media

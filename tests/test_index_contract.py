@@ -196,3 +196,42 @@ def test_add_remove_readd(contract_engine, algo):
     assert payload_after == payload_before, algo
     after_readd = _results_fingerprint(eng, probes, sp, strong)
     assert after_readd == before, (algo, after_readd, before)
+
+
+def test_dct_hash_flat_cache(tmp_path, monkeypatch):
+    """The dct store persists a flat sidecar cache like the feature
+    indexes (index/cache.py): a fresh engine loads identical arrays from
+    _index/cache/dcthash.npz, and a newer database invalidates it."""
+    import numpy as np
+    import cbird_tpu.index.dct_hash_index as dhi
+    from cbird_tpu.host.engine import Engine
+    from cbird_tpu.params import IndexParams, SearchParams
+
+    monkeypatch.setattr(dhi, "CACHE_MIN_ROWS", 0)
+    root = str(tmp_path)
+    _make_corpus(root, n_base=2, size=(120, 150), seed=3)
+    params = IndexParams()
+    params.algos = 1
+    eng = Engine(root, params)
+    eng.update()
+    sp = SearchParams()
+    eng.db.similar(sp)  # force load → cache write
+    cache_f = os.path.join(root, "_index", "cache", "dcthash.npz")
+    assert os.path.exists(cache_f)
+    with np.load(cache_f) as z:
+        cached_ids = set(z["ids"].tolist())
+
+    eng2 = Engine(root, params)
+    g1 = [[m.path for m in g] for g in eng.db.similar(sp)]
+    g2 = [[m.path for m in g] for g in eng2.db.similar(sp)]
+    assert g1 == g2
+    idx = next(i for i in eng2.db.indexes()
+                if i.id == SearchParams.ALGO_DCT)
+    assert set(idx._store.ids.tolist()) == cached_ids
+
+    # corrupt cache → removed and rebuilt from SQL
+    with open(cache_f, "wb") as f:
+        f.write(b"garbage")
+    eng3 = Engine(root, params)
+    g3 = [[m.path for m in g] for g in eng3.db.similar(sp)]
+    assert g3 == g1
