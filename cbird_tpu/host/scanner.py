@@ -198,7 +198,10 @@ class Scanner:
                     meta = be.probe(path)
                 except Exception:
                     return 0.0
-                return (meta.get("duration", 0.0) * meta.get("fps", 0.0)
+                # probe reports fps 0.0 when the stream has no rate —
+                # assume 25 so long rate-less videos still sort first
+                return (meta.get("duration", 0.0)
+                        * (meta.get("fps", 0.0) or 25.0)
                         * meta.get("width", 0) * meta.get("height", 0))
 
             costs = {p: cost(p) for p in queue}

@@ -103,9 +103,14 @@ def decode_cmd(path: str, ow: int, oh: int, start: int = 0,
     post: list[str] = []
     vf_select = ""
     if start >= SEEK_MIN_FRAMES and fps > 0:
-        target_t = start / fps + start_time
-        seek_t = max(0.0, target_t - SEEK_GUARD_SECONDS)
+        # input -ss is relative to the file start (ffmpeg adds the
+        # container's start_time itself) but under -copyts the select
+        # filter sees original timestamps, so only the select threshold
+        # carries start_time — adding it to -ss too would double-count
+        # (badly wrong on MPEG-TS with a large PCR base)
+        seek_t = max(0.0, start / fps - SEEK_GUARD_SECONDS)
         if seek_t > 0:
+            target_t = start / fps + start_time
             pre += ["-ss", f"{seek_t:.6f}"]
             post = ["-copyts"]
             # t is the original timestamp under -copyts; half a frame of

@@ -39,14 +39,17 @@ def _chunk_dists(n_lo, n_hi, h_lo, h_hi):
     return (x + y).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "recall"))
 def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
-                 valid: jnp.ndarray, k: int = 64, chunk: int = 1 << 21):
+                 valid: jnp.ndarray, k: int = 64, chunk: int = 1 << 21,
+                 recall: float = 0.99):
     """Per-needle k nearest haystack rows by Hamming distance.
 
     needles  [Q, 2] uint32 (lo, hi)
     haystack [N, 2] uint32
     valid    [N] bool — False rows (tombstones/padding) never match
+    @param recall approx_min_k recall target; self-search passes 0.999
+           because its mirror completion gets only ONE scan per pair
     @return (dists [Q, k] int32 ascending, indices [Q, k] int32);
             missing entries have distance BAD_DIST
     """
@@ -69,7 +72,7 @@ def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
         d = _chunk_dists(n_lo, n_hi, haystack[:, 0], haystack[:, 1])
         d = jnp.where(valid[None, :], d, jnp.int32(BAD_DIST))
         dk, ik = jax.lax.approx_min_k(d.astype(jnp.float32), k,
-                                      recall_target=0.99)
+                                      recall_target=recall)
         return dk.astype(jnp.int32), ik
 
     # Streaming path for big indexes: per chunk use approx_min_k (the
@@ -91,7 +94,7 @@ def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
         d = _chunk_dists(n_lo, n_hi, hs_c[:, 0], hs_c[:, 1])
         d = jnp.where(vs_c[None, :], d, jnp.int32(BAD_DIST))
         dk, ik = jax.lax.approx_min_k(d.astype(jnp.float32), k,
-                                      recall_target=0.99)
+                                      recall_target=recall)
         return None, (dk, ik + base)
 
     _, (ds, is_) = jax.lax.scan(body, None, (hs, vs, bases))
@@ -105,7 +108,11 @@ def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
 def hamming_count_below(needles: jnp.ndarray, haystack: jnp.ndarray,
                         valid: jnp.ndarray, threshold: jnp.ndarray,
                         chunk: int = 1 << 16):
-    """Per-needle count of rows with distance < threshold (diagnostics/stats)."""
+    """Per-needle count of rows with distance < threshold.
+
+    Superseded in the production count phase by the host-tiled _count_tile
+    loop (~1.6x faster per pair); kept as the single-dispatch reference
+    implementation the unit tests compare against."""
     n_lo, n_hi = needles[:, 0], needles[:, 1]
     n = haystack.shape[0]
     n_pad = -n % chunk
@@ -336,13 +343,14 @@ class PackedHashStore:
         return acc
 
     @staticmethod
-    def _topk_call(nb, pairs_dev, valid_dev, k):
+    def _topk_call(nb, pairs_dev, valid_dev, k, recall=0.99):
         mesh = _search_mesh()
         if mesh is not None:
             from ..parallel.sharded import sharded_hamming_topk
             return sharded_hamming_topk(mesh, jnp.asarray(nb), pairs_dev,
-                                        valid_dev, k=k)
-        return hamming_topk(jnp.asarray(nb), pairs_dev, valid_dev, k=k)
+                                        valid_dev, k=k, recall=recall)
+        return hamming_topk(jnp.asarray(nb), pairs_dev, valid_dev, k=k,
+                            recall=recall)
 
     def search(self, needle_hashes: np.ndarray, threshold: int, k: int = 64,
                needle_batch: int = 1024, min_hits: int = 1):
@@ -436,7 +444,8 @@ class PackedHashStore:
             cols = 1 << 16 if n_pad <= 1 << 20 else 1 << 17
         rows = min(rows, n_pad)        # all divide n_pad: powers of two
         cols = min(cols, n_pad)        # (≤2^21) or multiples of 2^21
-        thresh_dev = jnp.int32(threshold)
+        assert n_pad % rows == 0 and n_pad % cols == 0, \
+            (n_pad, rows, cols)  # clamped dynamic_slice would double-count
         k = min(k, n)
         if mesh is not None:
             from ..parallel.sharded import sharded_self_count
@@ -444,6 +453,7 @@ class PackedHashStore:
                                         threshold, rows, cols)[:n]
         else:
             # launch every on/above-diagonal tile asynchronously, sync once
+            thresh_dev = jnp.int32(threshold)
             row_parts = []
             for rb in range(0, n_pad, rows):
                 acc = jnp.zeros(rows, jnp.int32)
@@ -463,7 +473,7 @@ class PackedHashStore:
             return results
         needles = split_u64(self._hashes)
         self._topk_phase(needles, hot, results, pairs_dev, valid_dev,
-                         threshold, k, needle_batch)
+                         threshold, k, needle_batch, recall=0.999)
         # Saturation escalation: a hot needle whose list filled to k may
         # have truncated hits, and a dropped (i, j) pair would make the
         # mirror below silently lose j's only match.  Rescan saturated
@@ -475,7 +485,8 @@ class PackedHashStore:
         while sat and kk < n:
             kk = min(kk * 4, n, 1 << 16)
             self._topk_phase(needles, np.asarray(sat), results, pairs_dev,
-                             valid_dev, threshold, kk, needle_batch)
+                             valid_dev, threshold, kk, needle_batch,
+                             recall=0.999)
             sat = [i for i in sat if len(results[i][0]) >= kk]
             if sat and kk >= 1 << 16:
                 pathological = True  # >65536-member duplicate cluster
@@ -507,7 +518,7 @@ class PackedHashStore:
                 # differently than the needle's own top-k would — rescan
                 self._topk_phase(needles, np.asarray(overflow), results,
                                  pairs_dev, valid_dev, threshold, k,
-                                 needle_batch)
+                                 needle_batch, recall=0.999)
         return results
 
     def _mirror_self_matches(self, results, hot, k):
@@ -560,7 +571,7 @@ class PackedHashStore:
         return filled
 
     def _topk_phase(self, needles, hot, results, pairs_dev, valid_dev,
-                    threshold, k, needle_batch):
+                    threshold, k, needle_batch, recall=0.99):
         """Top-k sort for the needles that passed the count gate; fills and
         returns ``results`` (ids/dists below threshold, ascending)."""
         pending = []
@@ -571,7 +582,8 @@ class PackedHashStore:
             qb = needle_batch if len(hot) > needle_batch else _bucket(rows, 64)
             if rows < qb:
                 nb = np.pad(nb, ((0, qb - rows), (0, 0)))
-            pending.append((sel, self._topk_call(nb, pairs_dev, valid_dev, k)))
+            pending.append((sel, self._topk_call(nb, pairs_dev, valid_dev, k,
+                                                 recall)))
         for sel, (d, i) in pending:
             rows = len(sel)
             d = np.asarray(d)[:rows]

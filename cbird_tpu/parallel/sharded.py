@@ -85,20 +85,21 @@ def make_multihost_mesh(axes: tuple[str, str] = ("batch", "index")) -> Mesh:
     return Mesh(dev, axes)
 
 
-def _local_topk(needles, haystack, valid, k: int):
+def _local_topk(needles, haystack, valid, k: int, recall: float = 0.99):
     """Single-shard top-k (no jit wrapper — runs inside shard_map)."""
     d = _chunk_dists(needles[:, 0], needles[:, 1], haystack[:, 0], haystack[:, 1])
     d = jnp.where(valid[None, :], d, BAD_DIST)
     if haystack.shape[0] > 4096:  # TPU-native partial sort on big shards
         dk, ik = jax.lax.approx_min_k(d.astype(jnp.float32), k,
-                                      recall_target=0.99)
+                                      recall_target=recall)
         return dk.astype(jnp.int32), ik
     neg, idx = jax.lax.top_k(-d, k)
     return -neg, idx
 
 
 def sharded_hamming_topk(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
-                         valid: jnp.ndarray, k: int = 64):
+                         valid: jnp.ndarray, k: int = 64,
+                         recall: float = 0.99):
     """Distributed threshold/top-k search.
 
     needles [Q, 2] u32 (replicated), haystack [N, 2] u32 sharded over the
@@ -113,7 +114,7 @@ def sharded_hamming_topk(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray
         out_specs=(P(), P()),
         check_vma=False)
     def run(n, h, v):
-        local_d, local_i = _local_topk(n, h, v, k)
+        local_d, local_i = _local_topk(n, h, v, k, recall)
         local_i = local_i + jax.lax.axis_index(idx_axis) * h.shape[0]
         # merge the per-shard candidate sets (k·S values/needle over ICI)
         return _merge_gathered(local_d, local_i, idx_axis)
@@ -283,7 +284,8 @@ def _self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
     """Build (and cache) the per-step program for sharded_self_count: every
     chip processes one [rows × cols] tile of the replicated haystack and
     accumulates row counts into its local slice of the state array."""
-    key = (id(mesh), rows, cols, span)
+    key = (mesh, rows, cols, span)  # Mesh hashes by devices+axes — an
+    # id() key could alias a dead mesh whose address was reused
     fn = _SELF_COUNT_CACHE.get(key)
     if fn is not None:
         return fn

@@ -430,12 +430,13 @@ def test_decode_cmd_seek_ladder():
     assert "-ss" not in cmd
     assert "select=gte(n\\,10)," in cmd[cmd.index("-vf") + 1]
 
-    # large start, known fps: keyframe seek 10s before target, original
-    # timestamps kept, time-based select half a frame before the target
+    # large start, known fps: keyframe seek 10s before target.  -ss is
+    # file-relative (ffmpeg offsets by the container start_time itself);
+    # only the select threshold carries start_time
     cmd = decode_cmd("v.mp4", 128, 72, start=25000, fps=25.0, start_time=0.5)
     seek_t = float(cmd[cmd.index("-ss") + 1])
     assert cmd.index("-ss") < cmd.index("-i")  # input seek, not output
-    assert abs(seek_t - (25000 / 25.0 + 0.5 - 10.0)) < 1e-6
+    assert abs(seek_t - (25000 / 25.0 - 10.0)) < 1e-6
     assert "-copyts" in cmd and cmd.index("-copyts") > cmd.index("-i")
     vf = cmd[cmd.index("-vf") + 1]
     assert f"select=gte(t\\,{25000 / 25.0 + 0.5 - 0.02:.6f})," in vf
