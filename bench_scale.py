@@ -122,6 +122,44 @@ def bench_video(n_videos=20_000, frames_per_video=500, needles=10):
           f"{dt * 1000:.0f} ms (per-video segment-min on device)")
 
 
+def bench_vn2(n_videos=2_000, frames_per_video=500):
+    """Video↔video N² dedup (findVideo temporal scoring over every pair;
+    the reference searches per-needle RadixMap trees — no published number
+    at this scale)."""
+    from cbird_tpu.index.dct_video_index import DctVideoIndex
+    from cbird_tpu.params import SearchParams, TYPE_VIDEO
+    from cbird_tpu.store.media import Media, VideoIndexData
+    rng = np.random.default_rng(6)
+    idx = DctVideoIndex()
+    idx._loaded = True
+    media = []
+    clip_hashes = None
+    for v in range(n_videos):
+        nf = frames_per_video
+        hashes = rng.integers(1, 2**63, size=nf, dtype=np.uint64)
+        if v == 17:
+            clip_hashes = hashes
+        if v == 1500 and clip_hashes is not None:  # plant a duplicate clip
+            hashes[100:300] = clip_hashes[150:350]
+        m = Media(f"/x/{v}.mp4", TYPE_VIDEO, 128, 128, f"v{v}")
+        m.id = v + 1
+        m.videoIndex = VideoIndexData(
+            frames=np.arange(nf, dtype=np.int32) * 10, hashes=hashes)
+        idx._store.add_video(m.id, m.videoIndex.frames, m.videoIndex.hashes)
+        media.append(m)
+    sp = SearchParams()
+    sp.skipFrames = 0
+    idx.find_batch(media[:4], sp)  # compile
+    t0 = time.perf_counter()
+    all_matches = idx.find_batch(media, sp)
+    dt = time.perf_counter() - t0
+    dup_pairs = sum(1 for mm in all_matches if mm)
+    assert any(m.mediaId == 1501 for m in all_matches[17]), "planted clip lost"
+    print(f"vn2: {n_videos / 1e3:.0f}k videos / "
+          f"{n_videos * frames_per_video / 1e6:.0f}M frames all-pairs in "
+          f"{dt:.1f} s, {dup_pairs} videos matched")
+
+
 def bench_n2(n=500_000, dups=2_000):
     """N² self-search at 500k with a realistic dup density (reference N²
     thresh 5: 8.9 s, readme.md:276-280).  Uses the production two-phase

@@ -103,9 +103,34 @@ class DctVideoIndex(Index):
             for row, i in enumerate(img_idx):
                 out[i] = self._frame_matches(needles[i], dists[row], frames[row],
                                              params)
-        for i, n in enumerate(needles):
-            if n.type == TYPE_VIDEO:
-                out[i] = self._find_video(n, params)
+        vid_idx = [i for i, n in enumerate(needles) if n.type == TYPE_VIDEO]
+        counts = None
+        live: list[int] = []
+        if len(vid_idx) > 8:
+            # video↔video N²: one batched device count gate over all
+            # needle frames, then the detailed per-needle search only for
+            # needles with a gating slot (reading back the per-needle
+            # [Q, V] minima for every needle is tunnel-bandwidth-bound)
+            trims = {i: self._trimmed_needle(needles[i], params)
+                     for i in vid_idx}
+            live = [i for i in vid_idx
+                    if trims[i] is not None and len(trims[i][1])]
+            if live:
+                counts = self._store.self_hit_counts(
+                    [trims[i][1] for i in live], params.dctThresh)
+        if counts is not None:
+            media_ids = np.asarray(self._store.media_ids, np.uint32)
+            gate = max(1, params.minFramesMatched)
+            for row, i in enumerate(live):
+                c = counts[row].copy()
+                c[media_ids == 0] = 0
+                if params.filterSelf:
+                    c[media_ids == needles[i].id] = 0
+                if (c >= gate).any():
+                    out[i] = self._find_video(needles[i], params)
+        else:
+            for i in vid_idx:
+                out[i] = self._find_video(needles[i], params)
         return out
 
     def _frame_matches(self, needle: Media, dists: np.ndarray, frames: np.ndarray,
@@ -140,16 +165,22 @@ class DctVideoIndex(Index):
         except (OSError, ValueError):
             return None
 
-    def _find_video(self, needle: Media, params: SearchParams) -> list[Match]:
+    def _trimmed_needle(self, needle: Media, params: SearchParams):
+        """Needle video frames with skipFrames trimmed at both ends
+        (reference src/dctvideoindex.cpp:429-431), or None."""
         src = self._needle_video_index(needle)
         if src is None or src.is_empty():
-            return []
-        # trim skipFrames at both ends (reference src/dctvideoindex.cpp:429-431)
+            return None
         last = int(src.frames[-1])
         keep = (src.frames >= params.skipFrames) & \
                (src.frames <= last - params.skipFrames)
-        q_frames = src.frames[keep]
-        q_hashes = src.hashes[keep]
+        return src.frames[keep], src.hashes[keep]
+
+    def _find_video(self, needle: Media, params: SearchParams) -> list[Match]:
+        trimmed = self._trimmed_needle(needle, params)
+        if trimmed is None:
+            return []
+        q_frames, q_hashes = trimmed
         if len(q_frames) == 0:
             return []
 
@@ -158,15 +189,19 @@ class DctVideoIndex(Index):
         results: list[Match] = []
         media_ids = self._store.media_ids
         hit = dists < params.dctThresh  # [Q, V]
-        for slot, mid in enumerate(media_ids):
+        # vectorized slot gate: scoring only touches videos with enough
+        # frame hits — a python loop over every stored video per needle
+        # made video↔video N² quadratic in host time
+        slot_counts = hit.sum(axis=0)
+        for slot in np.nonzero(
+                slot_counts >= max(1, params.minFramesMatched))[0]:
+            mid = media_ids[slot]
             if mid == 0:
                 continue
             if params.filterSelf and mid == needle.id:
                 continue
             rows = np.nonzero(hit[:, slot])[0]
             num = len(rows)
-            if num == 0 or num < params.minFramesMatched:
-                continue
             pairs = sorted((int(q_frames[r]), int(mframes[r, slot])) for r in rows)
             # adjacency scoring over the *matched* frame numbers
             num_adjacent = 0

@@ -161,6 +161,47 @@ class PackedVideoStore:
                              jnp.asarray(frames), jnp.asarray(valid), vb)
         return self._dev
 
+    def self_hit_counts(self, needle_hash_list, threshold: int,
+                        needle_batch: int = 256):
+        """Batched count gate for video↔video N² (-similar with video
+        needles): for every needle video (a list of per-frame hash arrays)
+        and every stored video slot, the number of needle frames whose
+        nearest frame in that slot is under ``threshold`` — computed with
+        the same segment-min kernel the detailed search uses, accumulated
+        on device, one readback total.  Returns None on a multi-chip mesh
+        (callers fall back to per-needle search there).
+
+        @return counts [len(list), V] int32 or None"""
+        from .dct_hash import split_u64
+        from .hamming import _search_mesh
+        if _search_mesh() is not None:
+            return None
+        v = len(self._media_ids)
+        nn = len(needle_hash_list)
+        if nn == 0 or v == 0 or self.frame_count() == 0:
+            return np.zeros((nn, max(v, 1)), np.int32)
+        pairs, vidx, frames, valid, vb = self._device()
+        all_h = np.concatenate(needle_hash_list)
+        owners = np.repeat(np.arange(nn, dtype=np.int32),
+                           [len(h) for h in needle_hash_list])
+        needles = split_u64(np.asarray(all_h, np.uint64))
+        n_pad = max(64, 1 << max(nn - 1, 1).bit_length())
+        counts = jnp.zeros((n_pad, vb), jnp.int32)
+        t = jnp.int32(threshold)
+        for s in range(0, len(all_h), needle_batch):
+            nb = needles[s:s + needle_batch]
+            ob = owners[s:s + needle_batch]
+            qn = nb.shape[0]
+            rv = np.zeros(needle_batch, bool)
+            rv[:qn] = True
+            if qn < needle_batch:
+                nb = np.pad(nb, ((0, needle_batch - qn), (0, 0)))
+                ob = np.pad(ob, (0, needle_batch - qn))
+            counts = _video_hit_count_step(
+                counts, jnp.asarray(nb), jnp.asarray(ob), jnp.asarray(rv),
+                pairs, vidx, frames, valid, t, num_videos=vb)
+        return np.asarray(counts)[:nn, :v]
+
     def search(self, needle_hashes: np.ndarray, needle_batch: int = 256):
         """@param needle_hashes [Q] uint64
         @return (min_dist [Q, V] int32 with 65 = miss, min_frame [Q, V] int32)
@@ -194,3 +235,24 @@ class PackedVideoStore:
             out_d[s:s + qn] = np.asarray(d)[:qn, :v]
             out_f[s:s + qn] = np.asarray(fr)[:qn, :v]
         return out_d, out_f
+
+
+@functools.partial(jax.jit, static_argnames=("num_videos", "chunk"),
+                   donate_argnums=(0,))
+def _video_hit_count_step(counts: jnp.ndarray, needles: jnp.ndarray,
+                          owners: jnp.ndarray, row_valid: jnp.ndarray,
+                          hashes: jnp.ndarray, vidx: jnp.ndarray,
+                          frame_no: jnp.ndarray, valid: jnp.ndarray,
+                          threshold: jnp.ndarray, num_videos: int,
+                          chunk: int = 1 << 16):
+    """One needle-frame batch of the video↔video N² count gate: per
+    (owner needle video, stored video) count of needle frames whose
+    nearest stored frame is under threshold, accumulated into a donated
+    [Npad, V] buffer.  Reading back per-frame [Q, V] minima through the
+    tunnel costs more than the whole scan — only this reduction leaves
+    the device."""
+    d, _ = frame_search(needles, hashes, vidx, frame_no, valid,
+                        num_videos, chunk)
+    hit = ((d < threshold) & row_valid[:, None]).astype(jnp.int32)
+    return counts + jax.ops.segment_sum(hit, owners,
+                                        num_segments=counts.shape[0])

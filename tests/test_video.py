@@ -500,3 +500,39 @@ def test_ffmpeg_rate_parse_and_vfr_guard(monkeypatch):
     meta["fps"] = meta["avg_fps"] = 0.0  # unknown rate: exact select
     list(be.frames("v.mp4", start=25000))
     assert "-ss" not in captured["cmd"]
+
+
+def test_video_n2_batched_gate(monkeypatch):
+    """find_batch with many video needles uses the batched device count
+    gate; results must equal the per-needle search path."""
+    from cbird_tpu.index.dct_video_index import DctVideoIndex
+    from cbird_tpu.ops import hamming
+    from cbird_tpu.params import SearchParams, TYPE_VIDEO
+
+    monkeypatch.setattr(hamming, "_MESH", None)
+    rng = np.random.default_rng(8)
+    idx = DctVideoIndex()
+    idx._loaded = True
+    media = []
+    base = rng.integers(1, 2**63, size=120, dtype=np.uint64)
+    for v in range(12):
+        hashes = rng.integers(1, 2**63, size=120, dtype=np.uint64)
+        if v == 2:
+            hashes = base.copy()
+        if v == 9:  # duplicate clip of video 2's middle
+            hashes[10:90] = base[20:100]
+        m = Media(f"/x/{v}.mp4", TYPE_VIDEO, 64, 64, f"v{v}")
+        m.id = v + 1
+        m.videoIndex = VideoIndexData(
+            frames=np.arange(120, dtype=np.int32) * 10, hashes=hashes)
+        idx._store.add_video(m.id, m.videoIndex.frames, m.videoIndex.hashes)
+        media.append(m)
+    sp = SearchParams()
+    sp.skipFrames = 0
+    batched = idx.find_batch(media, sp)          # gated path (>8 needles)
+    single = [idx._find_video(m, sp) for m in media]
+    for b, s in zip(batched, single):
+        assert [(m.mediaId, m.score) for m in b] == \
+               [(m.mediaId, m.score) for m in s]
+    assert any(m.mediaId == 10 for m in batched[2])
+    assert any(m.mediaId == 3 for m in batched[9])
