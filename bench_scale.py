@@ -149,7 +149,7 @@ def bench_vn2(n_videos=2_000, frames_per_video=500):
         media.append(m)
     sp = SearchParams()
     sp.skipFrames = 0
-    idx.find_batch(media[:4], sp)  # compile
+    idx.find_batch(media[:16], sp)  # compile, incl. the >8-needle gate path
     t0 = time.perf_counter()
     all_matches = idx.find_batch(media, sp)
     dt = time.perf_counter() - t0

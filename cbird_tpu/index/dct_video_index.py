@@ -106,7 +106,10 @@ class DctVideoIndex(Index):
         vid_idx = [i for i, n in enumerate(needles) if n.type == TYPE_VIDEO]
         counts = None
         live: list[int] = []
-        if len(vid_idx) > 8:
+        trims: dict = {}
+        from ..ops.hamming import _search_mesh
+        if (len(vid_idx) > 8 and _search_mesh() is None
+                and any(self._store.media_ids)):
             # video↔video N²: one batched device count gate over all
             # needle frames, then the detailed per-needle search only for
             # needles with a gating slot (reading back the per-needle
@@ -127,7 +130,8 @@ class DctVideoIndex(Index):
                 if params.filterSelf:
                     c[media_ids == needles[i].id] = 0
                 if (c >= gate).any():
-                    out[i] = self._find_video(needles[i], params)
+                    out[i] = self._find_video(needles[i], params,
+                                              trimmed=trims[i])
         else:
             for i in vid_idx:
                 out[i] = self._find_video(needles[i], params)
@@ -176,8 +180,10 @@ class DctVideoIndex(Index):
                (src.frames <= last - params.skipFrames)
         return src.frames[keep], src.hashes[keep]
 
-    def _find_video(self, needle: Media, params: SearchParams) -> list[Match]:
-        trimmed = self._trimmed_needle(needle, params)
+    def _find_video(self, needle: Media, params: SearchParams,
+                    trimmed=None) -> list[Match]:
+        if trimmed is None:  # gated callers pass the trim they computed
+            trimmed = self._trimmed_needle(needle, params)
         if trimmed is None:
             return []
         q_frames, q_hashes = trimmed

@@ -168,8 +168,12 @@ class PackedVideoStore:
         and every stored video slot, the number of needle frames whose
         nearest frame in that slot is under ``threshold`` — computed with
         the same segment-min kernel the detailed search uses, accumulated
-        on device, one readback total.  Returns None on a multi-chip mesh
-        (callers fall back to per-needle search there).
+        on device.  Needle videos are processed in fixed-size owner blocks
+        (counts buffer capped at ~512 MB however many videos the catalog
+        holds — a dense [all needles × V] buffer would exceed HBM beyond
+        ~35k videos), which also keeps compiled shapes independent of the
+        needle count.  Returns None on a multi-chip mesh (callers fall
+        back to per-needle search there).
 
         @return counts [len(list), V] int32 or None"""
         from .dct_hash import split_u64
@@ -181,26 +185,32 @@ class PackedVideoStore:
         if nn == 0 or v == 0 or self.frame_count() == 0:
             return np.zeros((nn, max(v, 1)), np.int32)
         pairs, vidx, frames, valid, vb = self._device()
-        all_h = np.concatenate(needle_hash_list)
-        owners = np.repeat(np.arange(nn, dtype=np.int32),
-                           [len(h) for h in needle_hash_list])
-        needles = split_u64(np.asarray(all_h, np.uint64))
-        n_pad = max(64, 1 << max(nn - 1, 1).bit_length())
-        counts = jnp.zeros((n_pad, vb), jnp.int32)
+        block = max(64, min(2048, (512 << 20) // (vb * 4)))
         t = jnp.int32(threshold)
-        for s in range(0, len(all_h), needle_batch):
-            nb = needles[s:s + needle_batch]
-            ob = owners[s:s + needle_batch]
-            qn = nb.shape[0]
-            rv = np.zeros(needle_batch, bool)
-            rv[:qn] = True
-            if qn < needle_batch:
-                nb = np.pad(nb, ((0, needle_batch - qn), (0, 0)))
-                ob = np.pad(ob, (0, needle_batch - qn))
-            counts = _video_hit_count_step(
-                counts, jnp.asarray(nb), jnp.asarray(ob), jnp.asarray(rv),
-                pairs, vidx, frames, valid, t, num_videos=vb)
-        return np.asarray(counts)[:nn, :v]
+        out = np.zeros((nn, v), np.int32)
+        for b0 in range(0, nn, block):
+            chunk_list = needle_hash_list[b0:b0 + block]
+            all_h = np.concatenate(chunk_list)
+            owners = np.repeat(np.arange(len(chunk_list), dtype=np.int32),
+                               [len(h) for h in chunk_list])
+            needles = split_u64(np.asarray(all_h, np.uint64))
+            counts = jnp.zeros((block, vb), jnp.int32)
+            for s in range(0, len(all_h), needle_batch):
+                nb = needles[s:s + needle_batch]
+                ob = owners[s:s + needle_batch]
+                qn = nb.shape[0]
+                rv = np.zeros(needle_batch, bool)
+                rv[:qn] = True
+                if qn < needle_batch:
+                    nb = np.pad(nb, ((0, needle_batch - qn), (0, 0)))
+                    ob = np.pad(ob, (0, needle_batch - qn))
+                counts = _video_hit_count_step(
+                    counts, jnp.asarray(nb), jnp.asarray(ob),
+                    jnp.asarray(rv), pairs, vidx, frames, valid, t,
+                    num_videos=vb)
+            out[b0:b0 + len(chunk_list)] = \
+                np.asarray(counts)[:len(chunk_list), :v]
+        return out
 
     def search(self, needle_hashes: np.ndarray, needle_batch: int = 256):
         """@param needle_hashes [Q] uint64

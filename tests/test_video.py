@@ -536,3 +536,26 @@ def test_video_n2_batched_gate(monkeypatch):
                [(m.mediaId, m.score) for m in s]
     assert any(m.mediaId == 10 for m in batched[2])
     assert any(m.mediaId == 3 for m in batched[9])
+
+
+def test_video_n2_empty_store(monkeypatch):
+    """>8 video needles against an empty store: empty results, no crash
+    (the gate path must not index a zero-length media_ids array)."""
+    from cbird_tpu.index.dct_video_index import DctVideoIndex
+    from cbird_tpu.ops import hamming
+    from cbird_tpu.params import SearchParams, TYPE_VIDEO
+
+    monkeypatch.setattr(hamming, "_MESH", None)
+    idx = DctVideoIndex()
+    idx._loaded = True
+    media = []
+    for v in range(10):
+        m = Media(f"/x/{v}.mp4", TYPE_VIDEO, 64, 64, f"v{v}")
+        m.id = v + 1
+        m.videoIndex = VideoIndexData(
+            frames=np.arange(20, dtype=np.int32),
+            hashes=np.arange(1, 21, dtype=np.uint64))
+        media.append(m)
+    sp = SearchParams()
+    sp.skipFrames = 0
+    assert idx.find_batch(media, sp) == [[] for _ in media]
