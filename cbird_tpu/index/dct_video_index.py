@@ -104,32 +104,41 @@ class DctVideoIndex(Index):
                 out[i] = self._frame_matches(needles[i], dists[row], frames[row],
                                              params)
         vid_idx = [i for i, n in enumerate(needles) if n.type == TYPE_VIDEO]
-        counts = None
+        frame_counts = None
         live: list[int] = []
         trims: dict = {}
         from ..ops.hamming import _search_mesh
         if (len(vid_idx) > 8 and _search_mesh() is None
                 and any(self._store.media_ids)):
-            # video↔video N²: one batched device count gate over all
-            # needle frames, then the detailed per-needle search only for
-            # needles with a gating slot (reading back the per-needle
-            # [Q, V] minima for every needle is tunnel-bandwidth-bound)
+            # video↔video N² pre-gate: per-frame flat hit counts at the
+            # fast tiled-count rate (every per-(needle, video) device
+            # formulation measured ~50x slower — docs/TODO.md), then the
+            # detailed per-video search only for needles with enough
+            # frames carrying a cross-video hit.  A stored needle's frame
+            # always hits itself exactly once (same-video retained frames
+            # are ≥ vht > dctThresh apart), so stored needles require
+            # ≥ 2 counts per frame, unstored ≥ 1.
             trims = {i: self._trimmed_needle(needles[i], params)
                      for i in vid_idx}
             live = [i for i in vid_idx
                     if trims[i] is not None and len(trims[i][1])]
             if live:
-                counts = self._store.self_hit_counts(
-                    [trims[i][1] for i in live], params.dctThresh)
-        if counts is not None:
-            media_ids = np.asarray(self._store.media_ids, np.uint32)
+                all_hashes = np.concatenate([trims[i][1] for i in live])
+                frame_counts = self._store.flat_hit_counts(
+                    all_hashes, params.dctThresh)
+        if frame_counts is not None:
+            stored_ids = {int(m) for m in self._store.media_ids if m}
             gate = max(1, params.minFramesMatched)
-            for row, i in enumerate(live):
-                c = counts[row].copy()
-                c[media_ids == 0] = 0
-                if params.filterSelf:
-                    c[media_ids == needles[i].id] = 0
-                if (c >= gate).any():
+            pos = 0
+            for i in live:
+                nf = len(trims[i][1])
+                c = frame_counts[pos:pos + nf]
+                pos += nf
+                self_hits = 1 if needles[i].id in stored_ids else 0
+                if ((self_hits and not params.filterSelf)
+                        or int((c > self_hits).sum()) >= gate):
+                    # without filterSelf a stored needle always matches
+                    # itself, so it must reach the detailed phase
                     out[i] = self._find_video(needles[i], params,
                                               trimmed=trims[i])
         else:

@@ -161,56 +161,47 @@ class PackedVideoStore:
                              jnp.asarray(frames), jnp.asarray(valid), vb)
         return self._dev
 
-    def self_hit_counts(self, needle_hash_list, threshold: int,
-                        needle_batch: int = 256):
-        """Batched count gate for video↔video N² (-similar with video
-        needles): for every needle video (a list of per-frame hash arrays)
-        and every stored video slot, the number of needle frames whose
-        nearest frame in that slot is under ``threshold`` — computed with
-        the same segment-min kernel the detailed search uses, accumulated
-        on device.  Needle videos are processed in fixed-size owner blocks
-        (counts buffer capped at ~512 MB however many videos the catalog
-        holds — a dense [all needles × V] buffer would exceed HBM beyond
-        ~35k videos), which also keeps compiled shapes independent of the
-        needle count.  Returns None on a multi-chip mesh (callers fall
-        back to per-needle search there).
+    def flat_hit_counts(self, needle_hashes: np.ndarray, threshold: int,
+                        needle_batch: int = 16384) -> np.ndarray:
+        """Per needle FRAME count of sub-threshold stored frames, ignoring
+        video identity — one pass of the flat tiled count kernel (the
+        440G pairs/s path; every per-(needle, video)-output formulation
+        measured 4-8G pairs/s, see docs/TODO.md).  The video↔video N²
+        pre-gate aggregates these per needle video: a frame's self-hit is
+        exactly one count when the needle is stored (same-video retained
+        frames are ≥ vht > dctThresh bits apart), so frames with ≥ 2
+        counts have a cross-video hit.
 
-        @return counts [len(list), V] int32 or None"""
+        @return counts [len(needle_hashes)] int32"""
         from .dct_hash import split_u64
-        from .hamming import _search_mesh
+        from .hamming import _count_tile, _search_mesh
         if _search_mesh() is not None:
-            return None
-        v = len(self._media_ids)
-        nn = len(needle_hash_list)
-        if nn == 0 or v == 0 or self.frame_count() == 0:
-            return np.zeros((nn, max(v, 1)), np.int32)
+            return None  # sharded arrays; caller uses per-needle fallback
+        n = len(needle_hashes)
+        if n == 0 or self.frame_count() == 0:
+            return np.zeros(n, np.int32)
         pairs, vidx, frames, valid, vb = self._device()
-        block = max(64, min(2048, (512 << 20) // (vb * 4)))
+        fb = pairs.shape[0]
+        cols = min(1 << 17, fb)
+        needles = split_u64(np.asarray(needle_hashes, np.uint64))
         t = jnp.int32(threshold)
-        out = np.zeros((nn, v), np.int32)
-        for b0 in range(0, nn, block):
-            chunk_list = needle_hash_list[b0:b0 + block]
-            all_h = np.concatenate(chunk_list)
-            owners = np.repeat(np.arange(len(chunk_list), dtype=np.int32),
-                               [len(h) for h in chunk_list])
-            needles = split_u64(np.asarray(all_h, np.uint64))
-            counts = jnp.zeros((block, vb), jnp.int32)
-            for s in range(0, len(all_h), needle_batch):
-                nb = needles[s:s + needle_batch]
-                ob = owners[s:s + needle_batch]
-                qn = nb.shape[0]
-                rv = np.zeros(needle_batch, bool)
-                rv[:qn] = True
-                if qn < needle_batch:
-                    nb = np.pad(nb, ((0, needle_batch - qn), (0, 0)))
-                    ob = np.pad(ob, (0, needle_batch - qn))
-                counts = _video_hit_count_step(
-                    counts, jnp.asarray(nb), jnp.asarray(ob),
-                    jnp.asarray(rv), pairs, vidx, frames, valid, t,
-                    num_videos=vb)
-            out[b0:b0 + len(chunk_list)] = \
-                np.asarray(counts)[:len(chunk_list), :v]
-        return out
+        parts = []
+        for s0 in range(0, n, needle_batch):
+            nb = needles[s0:s0 + needle_batch]
+            qn = nb.shape[0]
+            # pad to a power-of-two bucket so shapes recompile rarely
+            qb = needle_batch if n > needle_batch else \
+                max(64, 1 << max(qn - 1, 1).bit_length())
+            if qn < qb:
+                nb = np.pad(nb, ((0, qb - qn), (0, 0)))
+            nb_dev = jnp.asarray(nb)
+            acc = jnp.zeros(nb.shape[0], jnp.int32)
+            for cb in range(0, fb, cols):
+                acc = _count_tile(acc, nb_dev, jnp.int32(cb), pairs, valid,
+                                  t, cols=cols)
+            parts.append((qn, acc))
+        return np.concatenate([np.asarray(a)[:qn]
+                               for qn, a in parts])[:n].astype(np.int32)
 
     def search(self, needle_hashes: np.ndarray, needle_batch: int = 256):
         """@param needle_hashes [Q] uint64
@@ -245,24 +236,3 @@ class PackedVideoStore:
             out_d[s:s + qn] = np.asarray(d)[:qn, :v]
             out_f[s:s + qn] = np.asarray(fr)[:qn, :v]
         return out_d, out_f
-
-
-@functools.partial(jax.jit, static_argnames=("num_videos", "chunk"),
-                   donate_argnums=(0,))
-def _video_hit_count_step(counts: jnp.ndarray, needles: jnp.ndarray,
-                          owners: jnp.ndarray, row_valid: jnp.ndarray,
-                          hashes: jnp.ndarray, vidx: jnp.ndarray,
-                          frame_no: jnp.ndarray, valid: jnp.ndarray,
-                          threshold: jnp.ndarray, num_videos: int,
-                          chunk: int = 1 << 16):
-    """One needle-frame batch of the video↔video N² count gate: per
-    (owner needle video, stored video) count of needle frames whose
-    nearest stored frame is under threshold, accumulated into a donated
-    [Npad, V] buffer.  Reading back per-frame [Q, V] minima through the
-    tunnel costs more than the whole scan — only this reduction leaves
-    the device."""
-    d, _ = frame_search(needles, hashes, vidx, frame_no, valid,
-                        num_videos, chunk)
-    hit = ((d < threshold) & row_valid[:, None]).astype(jnp.int32)
-    return counts + jax.ops.segment_sum(hit, owners,
-                                        num_segments=counts.shape[0])
