@@ -60,7 +60,8 @@ function esc(s) {
                   .replace(/>/g,'&gt;').replace(/"/g,'&quot;');
 }
 async function api(path, body) {
-  const r = await fetch(path, body ? {method:'POST', body: JSON.stringify(body)} : {});
+  const r = await fetch(path, body ? {method:'POST', body: JSON.stringify(body),
+    headers: {'X-Cbird-Token': TOKEN}} : {});
   return r.json();
 }
 async function act(action, id, other) {
@@ -143,7 +144,7 @@ window.onload = () => load(0);
 """
 
 
-def _page_html(title: str) -> str:
+def _page_html(title: str, token: str = "") -> str:
     t = html.escape(title)
     return f"""<!doctype html><html><head><meta charset='utf-8'>
 <title>{t}</title><style>{_PAGE_CSS}</style></head><body>
@@ -156,7 +157,7 @@ def _page_html(title: str) -> str:
 </nav>
 <div id='overlay' style='display:none'></div>
 <div id='groups'></div>
-<script>{_PAGE_JS}</script></body></html>"""
+<script>const TOKEN={json.dumps(token)};{_PAGE_JS}</script></body></html>"""
 
 
 def transform_groups(groups: MediaGroupList, mode: str) -> MediaGroupList:
@@ -359,6 +360,7 @@ class BrowserState:
 class _Handler(BaseHTTPRequestHandler):
     state: BrowserState = None  # set by serve_browser
     thumbs: dict[int, bytes] = {}
+    token: str = ""  # per-session CSRF token (set by serve_browser)
 
     def log_message(self, fmt, *args):  # quiet; cbird logging instead
         pass
@@ -376,7 +378,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (http.server API)
         url = urlparse(self.path)
         if url.path == "/":
-            self._send(200, _page_html(self.state.title).encode(), "text/html")
+            self._send(200, _page_html(self.state.title, self.token).encode(),
+                       "text/html")
         elif url.path == "/api/groups":
             q = parse_qs(url.query)
             page = int(q.get("page", ["0"])[0])
@@ -459,6 +462,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         url = urlparse(self.path)
+        # CSRF guard: state-changing endpoints (delete/weed/open/...) need
+        # the per-session token the served page embeds — a cross-origin
+        # page can neither read it nor send the custom header without a
+        # CORS preflight (which this server never grants)
+        if self.token and self.headers.get("X-Cbird-Token") != self.token:
+            return self._json({"error": "bad or missing session token"}, 403)
         length = int(self.headers.get("Content-Length") or 0)
         try:
             body = json.loads(self.rfile.read(length) or b"{}")
@@ -501,9 +510,11 @@ def serve_browser(db, groups: MediaGroupList, title: str = "cbird results",
     if not groups:
         warn("browse: empty result, nothing to show")
         return None
+    import secrets
     handler = type("BoundHandler", (_Handler,), {
         "state": BrowserState(db, groups, title, max_per_page, engine=engine),
         "thumbs": {},
+        "token": secrets.token_hex(16),
     })
     server = ThreadingHTTPServer((host, port), handler)
     url = f"http://{host}:{server.server_address[1]}/"

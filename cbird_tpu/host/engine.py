@@ -75,6 +75,12 @@ class Engine:
         # verify per-video hash files exist & are sane; missing → re-index
         self._verify_vdx_files()
 
+        # metadata-time capability probe (reference src/engine.cpp:274-299):
+        # when st_ctime moves on rename, -i.modtime's zip fast path is safe
+        # to auto-enable; the flag itself force-enables on odd filesystems
+        if not p.modTime and self._modtime_capable():
+            p.modTime = True
+
         expected = self.db.indexed_items()
         scan = self.scanner.scan_directory(root, expected, self.db.last_added())
 
@@ -120,15 +126,15 @@ class Engine:
             self.db.add(batch)
             added += len(batch)
 
-        # videos one at a time (each may be huge); commits per video like the
-        # reference (src/engine.cpp:85-92)
+        # videos decode concurrently (LJF-ordered queue, -i.decoderThreads
+        # workers) feeding the shared device hasher; results commit per
+        # video in completion order like the reference (src/engine.cpp:85-92)
         video_added = 0
         if p.algos & (1 << SearchParams.ALGO_VIDEO):
             try:
-                from .video import process_video
-                for path in scan.new_videos:
-                    m = process_video(path, self.params,
-                                      video_dir=self.db.video_path())
+                from .video import process_videos
+                for path, m in process_videos(scan.new_videos, self.params,
+                                              video_dir=self.db.video_path()):
                     if m is not None:
                         self.db.add([m])
                         video_added += 1
@@ -155,6 +161,30 @@ class Engine:
                 | (1 << SearchParams.ALGO_CV_FEATURES)
                 | (1 << SearchParams.ALGO_COLOR))
 
+    def _modtime_capable(self) -> bool:
+        """True when a rename bumps st_ctime (metadata change time) on the
+        index filesystem — the test the reference performs with its
+        modtime-check-before/after files (src/engine.cpp:274-299)."""
+        import time
+        d = self.db.index_path()
+        before = os.path.join(d, "modtime-check-before.txt")
+        after = os.path.join(d, "modtime-check-after.txt")
+        try:
+            with open(before, "w") as f:
+                f.write("x")
+            t0 = os.stat(before).st_ctime_ns
+            time.sleep(0.02)
+            os.rename(before, after)
+            return os.stat(after).st_ctime_ns > t0
+        except OSError:
+            return False
+        finally:
+            for pth in (before, after):
+                try:
+                    os.unlink(pth)
+                except OSError:
+                    pass
+
     def _verify_vdx_files(self) -> None:
         """Remove media whose .vdx went missing/corrupt so they re-index
         (reference src/engine.cpp:115-139)."""
@@ -173,12 +203,19 @@ class Engine:
     def query(self, needle: Media, params: SearchParams) -> MediaGroup:
         """Single-needle search incl. on-the-fly hashing and mirror variants
         (reference Engine::query, src/engine.cpp:367-452)."""
+        from .scanner import media_type_for
+        if needle.path and params.algo != SearchParams.ALGO_VIDEO \
+                and (needle.type == TYPE_VIDEO
+                     or media_type_for(needle.path) == TYPE_VIDEO):
+            # video needle + image algo: grab 9 evenly-spaced frames and
+            # query them as image needles (reference -similar-to <video>,
+            # src/main.cpp:1136-1196 via VideoContext::frameGrab)
+            return self._video_grab_query(needle, params)
         if needle.id == 0 and needle.path and not needle.dctHash:
             indexed = self.db.media_with_path(needle.path)
             if indexed.is_valid():
                 needle = indexed
             else:
-                from .scanner import media_type_for
                 if media_type_for(needle.path) == TYPE_VIDEO \
                         and params.algo == SearchParams.ALGO_VIDEO:
                     # unindexed video needle: hash its frames on the fly
@@ -188,7 +225,9 @@ class Engine:
                     algos = 1 << params.algo \
                         if params.algo != SearchParams.ALGO_VIDEO \
                         else 1 << SearchParams.ALGO_DCT
-                    processed = self.scanner.process_image_file(needle.path, algos)
+                    processed = self.scanner.process_image_file(
+                        needle.path, algos,
+                        crop=True if params.autoCrop else None)
                 if processed is None:
                     warn(f"cannot process needle: {needle.path}")
                     return []
@@ -215,6 +254,83 @@ class Engine:
         matches.sort(key=lambda m: m.score)
         return matches
 
+    GRAB_COUNT = 9  # frame grabs for a video needle (src/main.cpp:1150)
+
+    def _video_grab_query(self, needle: Media, params: SearchParams) -> MediaGroup:
+        """Video needle against an image index: decode GRAB_COUNT evenly-
+        spaced frames, build per-algo image needles from them, query each
+        and merge best-score-per-path (reference src/main.cpp:1136-1196)."""
+        from .video import DECODE_MAX_SIDE, backend_for, grab_frame
+        be = backend_for(needle.path)
+        if be is None:
+            warn(f"no video decode backend for {needle.path}")
+            return []
+        try:
+            meta = be.probe(needle.path)
+        except Exception:  # noqa: BLE001
+            warn(f"cannot probe video needle: {needle.path}")
+            return []
+        fps = meta.get("fps") or 25.0
+        total = int(round(meta.get("duration", 0.0) * fps))
+        n = self.GRAB_COUNT
+        if total > n:
+            targets = sorted({total * i // (n + 1) for i in range(1, n + 1)})
+        else:
+            targets = list(range(max(total, 1)))
+        grays = []
+        for t in targets:
+            frame = grab_frame(needle.path, t, max_side=DECODE_MAX_SIDE)
+            if frame is not None:
+                grays.append(frame)
+        if not grays:
+            return []
+        needles = self._needles_from_frames(grays, needle, params)
+        out: MediaGroup = []
+        for m in needles:
+            out += self.db.similar_to(m, params)
+        best: dict = {}
+        for m in out:
+            if m.path not in best or m.score < best[m.path].score:
+                best[m.path] = m
+        matches = sorted(best.values(), key=lambda m: m.score)
+        if params.filterSelf:
+            matches = [m for m in matches if m.path != needle.path]
+        return matches[:params.maxMatches]
+
+    def _needles_from_frames(self, grays: list[np.ndarray], needle: Media,
+                             params: SearchParams) -> list[Media]:
+        """Per-algo image needles from decoded grayscale frames."""
+        needles: list[Media] = []
+        if params.algo == SearchParams.ALGO_DCT:
+            hashes = self.scanner._hasher.hash_images(
+                grays, do_crop=self.params.autocrop or params.autoCrop)
+            for h in hashes:
+                needles.append(Media(needle.path, TYPE_IMAGE, needle.width,
+                                     needle.height, needle.md5, int(h),
+                                     id=needle.id))
+        elif params.algo in (SearchParams.ALGO_DCT_FEATURES,
+                             SearchParams.ALGO_CV_FEATURES):
+            from ..ops.orb import extract_features_batch
+            want_desc = params.algo == SearchParams.ALGO_CV_FEATURES
+            feats = extract_features_batch(
+                grays, self.params.numFeatures,
+                want_descriptors=want_desc, want_hashes=not want_desc)
+            for desc, hashes in feats:
+                m = Media(needle.path, TYPE_IMAGE, needle.width,
+                          needle.height, needle.md5, id=needle.id)
+                m.keyPointDescriptors = desc
+                m.keyPointHashes = hashes
+                needles.append(m)
+        elif params.algo == SearchParams.ALGO_COLOR:
+            from ..ops.color import create_descriptors
+            rgb = [np.stack([g, g, g], axis=-1) for g in grays]
+            for desc in create_descriptors(rgb):
+                m = Media(needle.path, TYPE_IMAGE, needle.width,
+                          needle.height, needle.md5, id=needle.id)
+                m.colorDescriptor = desc
+                needles.append(m)
+        return needles
+
     def _mirror_query(self, needle: Media, params: SearchParams) -> MediaGroup:
         """Re-process flipped variants of the needle and search each
         (reference src/engine.cpp:429-436).  dct/video re-hash; fdct/orb
@@ -238,7 +354,7 @@ class Engine:
         needles = []
         if params.algo in (SearchParams.ALGO_DCT, SearchParams.ALGO_VIDEO):
             hashes = self.scanner._hasher.hash_images(
-                flips, do_crop=self.params.autocrop)
+                flips, do_crop=self.params.autocrop or params.autoCrop)
             for h in hashes:
                 m = Media(needle.path, TYPE_IMAGE, d.width, d.height, d.md5,
                           int(h), id=needle.id)

@@ -123,8 +123,10 @@ class Scanner:
         result = ScanResult()
         p = self.params
         seen_inodes: set[FileId] = set()
+        queued: set[str] = set()  # resolveLinks can map 2 paths to 1 target
         want_images = bool(p.types & 1)
         want_videos = bool(p.types & 2)
+        abs_root = os.path.abspath(root)
 
         for dirpath, dirnames, filenames in os.walk(root, followlinks=p.followSymlinks):
             if not p.recursive and os.path.abspath(dirpath) != os.path.abspath(root):
@@ -140,8 +142,18 @@ class Scanner:
                 if not p.path_included(path):
                     result.ignored += 1
                     continue
+                if p.resolveLinks and os.path.islink(path):
+                    # store the resolved target when it lives under the
+                    # index root — a renamed/broken link then never forces
+                    # a reindex (reference src/scanner.cpp:389-410)
+                    canonical = os.path.realpath(path)
+                    if canonical.startswith(abs_root + os.sep):
+                        path = canonical
                 ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
                 if ext in ARCHIVE_EXTS:
+                    if p.modTime and mod_time and \
+                            self._zip_unchanged(path, mod_time, expected):
+                        continue  # metadata time predates last add: skip
                     self._scan_archive(path, expected, result)
                     continue
                 mtype = media_type_for(name)
@@ -169,6 +181,9 @@ class Scanner:
                     if mod_time and st.st_mtime > mod_time:
                         result.modified.append(path)
                     continue
+                if path in queued:
+                    continue  # e.g. a link and its resolved target
+                queued.add(path)
                 if mtype == TYPE_IMAGE and want_images:
                     result.new_images.append(path)
                 elif mtype == TYPE_VIDEO and want_videos:
@@ -210,6 +225,24 @@ class Scanner:
             mt_formats = {"mp4", "mkv", "mpg", "webm"}
             queue.sort(key=lambda p: (p.rsplit(".", 1)[-1].lower() in mt_formats,
                                       _fsize(p)), reverse=True)
+
+    @staticmethod
+    def _zip_unchanged(path: str, mod_time: float, expected: dict) -> bool:
+        """-i.modtime fast path: an archive whose metadata-change time
+        (st_ctime — catches replace-with-older, unlike mtime) predates the
+        last add keeps its indexed members and skips the deep zip scan
+        (reference src/scanner.cpp:453-467)."""
+        try:
+            if os.stat(path).st_ctime >= mod_time:
+                return False
+        except OSError:
+            return False
+        members = [k for k in expected if k.startswith(path + ":")]
+        if not members:
+            return False  # unknown zip must still be read
+        for k in members:
+            expected.pop(k)
+        return True
 
     def _scan_archive(self, path: str, expected, result: ScanResult) -> None:
         """Enumerate zip members as virtual paths (reference readArchive,
@@ -341,14 +374,20 @@ class Scanner:
                 if progress:
                     progress(done, len(paths))
 
-    def process_image_file(self, path: str, algos: int | None = None) -> Media | None:
+    def process_image_file(self, path: str, algos: int | None = None,
+                           crop: bool | None = None) -> Media | None:
         """One-off processing for query needles (reference
-        Scanner::processImageFile used by Engine::query)."""
+        Scanner::processImageFile used by Engine::query).
+        @param crop override -i.crop for this needle (-p.crop pre-filter)"""
         saved = self.params.algos
+        saved_crop = self.params.autocrop
         if algos is not None:
             self.params.algos = algos
+        if crop is not None:
+            self.params.autocrop = crop
         try:
             out = list(self.process_images([path]))
         finally:
             self.params.algos = saved
+            self.params.autocrop = saved_crop
         return out[0] if out else None

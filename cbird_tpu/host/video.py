@@ -25,6 +25,7 @@ import io
 import os
 import shutil
 import subprocess
+import threading
 from typing import Iterator, Optional
 
 import numpy as np
@@ -271,13 +272,15 @@ def compress_hash_run(hashes: np.ndarray, threshold: int):
 # ---------------------------------------------------------------------------
 
 _video_hasher: Optional[DctHasher] = None
+_hasher_lock = threading.Lock()  # decode workers share one device hasher
 
 
 def _hasher() -> DctHasher:
     global _video_hasher
-    if _video_hasher is None:
-        _video_hasher = DctHasher(canvas_hw=(DECODE_MAX_SIDE, DECODE_MAX_SIDE),
-                                  batch=256)
+    with _hasher_lock:
+        if _video_hasher is None:
+            _video_hasher = DctHasher(canvas_hw=(DECODE_MAX_SIDE, DECODE_MAX_SIDE),
+                                      batch=256)
     return _video_hasher
 
 
@@ -299,13 +302,15 @@ def make_video_index(frame_iter: Iterator[np.ndarray], threshold: int,
         chunk.append(frame)
         total += 1
         if len(chunk) >= batch:
-            all_hashes.append(hasher.hash_images(chunk, do_crop=True))
+            with _hasher_lock:  # decode runs parallel; the device is shared
+                all_hashes.append(hasher.hash_images(chunk, do_crop=True))
             chunk = []
         if total >= MAX_FRAMES_PER_VIDEO:
             warn("too many frames, skipping the rest")
             break
     if chunk:
-        all_hashes.append(hasher.hash_images(chunk, do_crop=True))
+        with _hasher_lock:
+            all_hashes.append(hasher.hash_images(chunk, do_crop=True))
     if not all_hashes:
         return VideoIndexData()
     hashes = np.concatenate(all_hashes)
@@ -369,3 +374,44 @@ def process_video(path: str, params: IndexParams,
     m.videoIndex = index
     debug(f"video {os.path.basename(path)}: {len(index.frames)} retained frames")
     return m
+
+
+def _safe_process_video(path: str, params: IndexParams,
+                        video_dir: Optional[str]) -> Optional[Media]:
+    """process_video with per-file error isolation: one broken container
+    must not kill the whole ingest run (reference scanner error handling,
+    src/scanner.cpp:1066-1130)."""
+    try:
+        return process_video(path, params, video_dir=video_dir)
+    except Exception as e:  # noqa: BLE001 — isolate any decode failure
+        warn(f"video ingest failed: {path}: {e}")
+        return None
+
+
+def process_videos(paths: list[str], params: IndexParams,
+                   video_dir: Optional[str] = None, workers: int = 0):
+    """Concurrent video ingest (reference video job scheduler,
+    src/scanner.cpp:159-206,599-758): M decode workers run in parallel —
+    ffmpeg decodes are separate subprocesses, .fseq decode is numpy — and
+    feed the shared device hasher through a lock, so the chip stays fed
+    while the next videos decode.  Callers pass the scanner's LJF-ordered
+    queue so the longest videos start first.
+
+    @param workers 0 → -i.decoderThreads, else min(4, cpu count)
+    @return iterator of (path, Media | None) in COMPLETION order — commit
+    per video as results arrive (src/engine.cpp:85-92)."""
+    if not paths:
+        return
+    if workers <= 0:
+        workers = params.decoderThreads or min(4, max(1, os.cpu_count() or 1))
+    workers = min(workers, len(paths))
+    if workers <= 1:
+        for path in paths:
+            yield path, _safe_process_video(path, params, video_dir)
+        return
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = {ex.submit(_safe_process_video, p, params, video_dir): p
+                for p in paths}
+        for f in as_completed(futs):
+            yield futs[f], f.result()

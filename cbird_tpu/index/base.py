@@ -78,6 +78,14 @@ class Index:
     def find_batch(self, needles: list[Media], params: SearchParams) -> list[list[Match]]:
         return [self.find(n, params) for n in needles]
 
+    def find_all(self, params: SearchParams):
+        """Optional whole-store N² self-search (Database -similar fast
+        path at 10M+ items): return (store media ids [N], per-row
+        (ids, dists) results aligned to those rows) computed straight off
+        the packed store arrays — no Media needles — or None to use the
+        generic per-needle find_batch path."""
+        return None
+
     def find_index_data(self, media: Media) -> bool:
         return False
 

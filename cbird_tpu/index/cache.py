@@ -42,10 +42,17 @@ def load_cache(cache_path: str, name: str, conn) -> Optional[dict]:
     if not os.path.exists(f):
         return None
     db_file = _db_file_of(conn)
-    if db_file and os.path.exists(db_file) and \
-            os.path.getmtime(f) < os.path.getmtime(db_file):
-        debug(f"cache stale: {f}")
-        return None
+    if db_file and os.path.exists(db_file):
+        # committed writes can sit in the -wal without bumping the main
+        # file's mtime (e.g. after a killed process) — a cache older than
+        # either file may be missing recently indexed media
+        db_mtime = os.path.getmtime(db_file)
+        wal = db_file + "-wal"
+        if os.path.exists(wal):
+            db_mtime = max(db_mtime, os.path.getmtime(wal))
+        if os.path.getmtime(f) < db_mtime:
+            debug(f"cache stale: {f}")
+            return None
     try:
         with np.load(f) as z:
             return {k: z[k] for k in z.files}

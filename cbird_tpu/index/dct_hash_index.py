@@ -117,6 +117,39 @@ class DctHashIndex(Index):
             out.append([Match(int(i), int(d)) for i, d in zip(ids, dists)])
         return out
 
+    def find_all(self, params: SearchParams):
+        """-similar N² straight off the packed store: no Media needle per
+        DB row (tens of GB of Python objects at 10M items), triangular
+        self-search + batched maxThresh escalation.  Only valid when self
+        matches are filtered (search_self gates lone-self needles)."""
+        if not params.filterSelf:
+            return None
+        hashes = self._store.hashes
+        n = len(hashes)
+        ids = self._store.ids
+        if n == 0:
+            return ids, []
+        k = max(params.maxMatches * 4, 64)
+        raw = self._store.search_self(params.dctThresh, k=k)
+        if params.maxThresh > 0:
+            # batched escalation: one store scan per threshold step over
+            # the still-short needles (the reference escalates per needle,
+            # src/database.cpp:1691-1757 — dispatch-bound at this scale)
+            tmp = params.copy()
+            pend = [i for i in range(n)
+                    if ids[i] and len(raw[i][0]) <= params.minMatches]
+            while pend:
+                tmp.dctThresh += 1
+                if tmp.dctThresh > params.maxThresh:
+                    break
+                sub = self._store.search(hashes[pend], tmp.dctThresh, k=k,
+                                         min_hits=2)
+                for i, r in zip(pend, sub):
+                    raw[i] = r
+                pend = [i for i in pend
+                        if len(raw[i][0]) <= params.minMatches]
+        return ids, raw
+
     def find_index_data(self, media: Media) -> bool:
         if media.id and not media.dctHash:
             hits = np.nonzero(self._store.ids == media.id)[0]

@@ -107,9 +107,7 @@ class DctVideoIndex(Index):
         frame_counts = None
         live: list[int] = []
         trims: dict = {}
-        from ..ops.hamming import _search_mesh
-        if (len(vid_idx) > 8 and _search_mesh() is None
-                and any(self._store.media_ids)):
+        if len(vid_idx) > 8 and any(self._store.media_ids):
             # video↔video N² pre-gate: per-frame flat hit counts at the
             # fast tiled-count rate (every per-(needle, video) device
             # formulation measured ~50x slower — docs/TODO.md), then the
@@ -127,18 +125,28 @@ class DctVideoIndex(Index):
                 frame_counts = self._store.flat_hit_counts(
                     all_hashes, params.dctThresh)
         if frame_counts is not None:
-            stored_ids = {int(m) for m in self._store.media_ids if m}
             gate = max(1, params.minFramesMatched)
             pos = 0
             for i in live:
                 nf = len(trims[i][1])
                 c = frame_counts[pos:pos + nf]
                 pos += nf
-                self_hits = 1 if needles[i].id in stored_ids else 0
-                if ((self_hits and not params.filterSelf)
-                        or int((c > self_hits).sum()) >= gate):
+                # per-frame self hits by actual membership in the stored
+                # hash set (not assumed 1 for every frame of a stored
+                # needle — a caller-supplied videoIndex can diverge from
+                # the stored .vdx, which would undercount cross hits)
+                stored = self._store.video_hashes(needles[i].id)
+                if stored is not None and not params.filterSelf:
                     # without filterSelf a stored needle always matches
                     # itself, so it must reach the detailed phase
+                    out[i] = self._find_video(needles[i], params,
+                                              trimmed=trims[i])
+                    continue
+                if stored is not None:
+                    self_hits = np.isin(trims[i][1], stored)
+                else:
+                    self_hits = np.zeros(nf, dtype=bool)
+                if int((c > self_hits).sum()) >= gate:
                     out[i] = self._find_video(needles[i], params,
                                               trimmed=trims[i])
         else:

@@ -71,6 +71,9 @@ def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
     if n <= chunk:  # single block, TPU-native partial sort
         d = _chunk_dists(n_lo, n_hi, haystack[:, 0], haystack[:, 1])
         d = jnp.where(valid[None, :], d, jnp.int32(BAD_DIST))
+        if recall >= 1.0:  # exact rescan path (invariant-repair callers)
+            neg_d, idx = jax.lax.top_k(-d, k)
+            return -neg_d, idx
         dk, ik = jax.lax.approx_min_k(d.astype(jnp.float32), k,
                                       recall_target=recall)
         return dk.astype(jnp.int32), ik
@@ -93,8 +96,12 @@ def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
         hs_c, vs_c, base = inp
         d = _chunk_dists(n_lo, n_hi, hs_c[:, 0], hs_c[:, 1])
         d = jnp.where(vs_c[None, :], d, jnp.int32(BAD_DIST))
-        dk, ik = jax.lax.approx_min_k(d.astype(jnp.float32), k,
-                                      recall_target=recall)
+        if recall >= 1.0:  # exact per chunk → exact after the merge
+            neg_d, ik = jax.lax.top_k(-d, k)
+            dk = (-neg_d).astype(jnp.float32)
+        else:
+            dk, ik = jax.lax.approx_min_k(d.astype(jnp.float32), k,
+                                          recall_target=recall)
         return None, (dk, ik + base)
 
     _, (ds, is_) = jax.lax.scan(body, None, (hs, vs, bases))
@@ -491,6 +498,24 @@ class PackedHashStore:
             if sat and kk >= 1 << 16:
                 pathological = True  # >65536-member duplicate cluster
                 break
+        if not pathological:
+            # Exact-recall invariant: the count phase is exact, so
+            # counts[i] is the true number of later-row hits for needle i;
+            # the 0.999-recall approx scan can still drop one, and a
+            # dropped (i, j) pair silently loses j's only match after
+            # mirroring.  Verify per hot needle (distances are exact, so
+            # the scan can only MISS, never fabricate) and rescan
+            # mismatches with the exact sort.
+            bad = hot[self._later_row_hits(hot, results) < counts[hot]]
+            kk2 = kk
+            while len(bad):
+                self._topk_phase(needles, bad, results, pairs_dev,
+                                 valid_dev, threshold, kk2, needle_batch,
+                                 recall=1.0)
+                bad = bad[self._later_row_hits(bad, results) < counts[bad]]
+                if not len(bad) or kk2 >= min(n, 1 << 16):
+                    break  # exact scan still short: list capped at kk2
+                kk2 = min(kk2 * 4, n, 1 << 16)
         if pathological:
             # complete source lists are off the table — run the plain
             # two-phase search for every row the triangle never scanned
@@ -520,6 +545,35 @@ class PackedHashStore:
                                  pairs_dev, valid_dev, threshold, k,
                                  needle_batch, recall=0.999)
         return results
+
+    def _later_row_hits(self, needle_rows, results):
+        """Per needle row i in ``needle_rows``: #{entries of results[i]
+        whose store row is > i} — compared against the exact count phase
+        to detect approx_min_k recall misses (search_self invariant)."""
+        out = np.zeros(len(needle_rows), np.int64)
+        valid_rows = np.nonzero(self._ids)[0]
+        if not len(valid_rows):
+            return out.astype(np.int32)
+        order = np.argsort(self._ids[valid_rows])
+        sorted_ids = self._ids[valid_rows][order]
+        rows_sorted = valid_rows[order]
+        src_parts, id_parts = [], []
+        for j, i in enumerate(needle_rows):
+            ids = results[i][0]
+            if len(ids):
+                src_parts.append(np.full(len(ids), j, np.int64))
+                id_parts.append(ids)
+        if not src_parts:
+            return out.astype(np.int32)
+        src = np.concatenate(src_parts)
+        ids = np.concatenate(id_parts)
+        pos = np.clip(np.searchsorted(sorted_ids, ids),
+                      0, len(sorted_ids) - 1)
+        tgt = rows_sorted[pos]
+        good = (sorted_ids[pos] == ids) & \
+            (tgt > np.asarray(needle_rows, np.int64)[src])
+        np.add.at(out, src[good], 1)
+        return out.astype(np.int32)
 
     def _mirror_self_matches(self, results, hot, k):
         """Self-search completion: for every hit (i, j) of a row-hot needle

@@ -90,6 +90,7 @@ class PackedVideoStore:
         # concatenate per add_video would make a V-video ingest O(V²)
         self._pending: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._dev = None
+        self._by_slot = None  # slot → stored hashes (built lazily)
 
     def _consolidate(self) -> None:
         if self._pending:
@@ -121,6 +122,29 @@ class PackedVideoStore:
                               np.full(len(hashes), slot, np.int32),
                               np.asarray(frames, np.int32)))
         self._dev = None
+        self._by_slot = None
+
+    def video_hashes(self, media_id: int) -> np.ndarray | None:
+        """Stored frame hashes (u64) for one media id, or None if absent —
+        the N² gate compares a needle's in-memory hashes against these
+        rather than assuming they are identical (a caller-supplied
+        videoIndex can diverge from the stored .vdx after a re-index)."""
+        mid = int(media_id)
+        if mid == 0:
+            return None
+        try:
+            slot = self._media_ids.index(mid)
+        except ValueError:
+            return None
+        self._consolidate()
+        if getattr(self, "_by_slot", None) is None:
+            order = np.argsort(self._vidx, kind="stable")
+            sorted_vidx = self._vidx[order]
+            bounds = np.searchsorted(sorted_vidx,
+                                     np.arange(len(self._media_ids) + 1))
+            self._by_slot = (self._hashes[order], bounds)
+        hashes, bounds = self._by_slot
+        return hashes[bounds[slot]:bounds[slot + 1]]
 
     def remove(self, media_ids) -> None:
         kill = set(int(i) for i in media_ids)
@@ -175,8 +199,7 @@ class PackedVideoStore:
         @return counts [len(needle_hashes)] int32"""
         from .dct_hash import split_u64
         from .hamming import _count_tile, _search_mesh
-        if _search_mesh() is not None:
-            return None  # sharded arrays; caller uses per-needle fallback
+        mesh = _search_mesh()
         n = len(needle_hashes)
         if n == 0 or self.frame_count() == 0:
             return np.zeros(n, np.int32)
@@ -194,11 +217,20 @@ class PackedVideoStore:
                 max(64, 1 << max(qn - 1, 1).bit_length())
             if qn < qb:
                 nb = np.pad(nb, ((0, qb - qn), (0, 0)))
-            nb_dev = jnp.asarray(nb)
-            acc = jnp.zeros(nb.shape[0], jnp.int32)
-            for cb in range(0, fb, cols):
-                acc = _count_tile(acc, nb_dev, jnp.int32(cb), pairs, valid,
-                                  t, cols=cols)
+            if mesh is not None:
+                # store arrays are index-sharded; exact counts via a
+                # per-shard fused scan + one psum of [Q] int32s over ICI
+                from ..parallel.sharded import sharded_flat_counts
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                nb_dev = jax.device_put(nb, NamedSharding(mesh, P()))
+                acc = sharded_flat_counts(mesh, nb_dev, pairs, valid,
+                                          threshold)
+            else:
+                nb_dev = jnp.asarray(nb)
+                acc = jnp.zeros(nb.shape[0], jnp.int32)
+                for cb in range(0, fb, cols):
+                    acc = _count_tile(acc, nb_dev, jnp.int32(cb), pairs,
+                                      valid, t, cols=cols)
             parts.append((qn, acc))
         return np.concatenate([np.asarray(a)[:qn]
                                for qn, a in parts])[:n].astype(np.int32)

@@ -86,10 +86,11 @@ def make_multihost_mesh(axes: tuple[str, str] = ("batch", "index")) -> Mesh:
 
 
 def _local_topk(needles, haystack, valid, k: int, recall: float = 0.99):
-    """Single-shard top-k (no jit wrapper — runs inside shard_map)."""
+    """Single-shard top-k (no jit wrapper — runs inside shard_map);
+    recall >= 1.0 selects the exact sort (invariant-repair rescans)."""
     d = _chunk_dists(needles[:, 0], needles[:, 1], haystack[:, 0], haystack[:, 1])
     d = jnp.where(valid[None, :], d, BAD_DIST)
-    if haystack.shape[0] > 4096:  # TPU-native partial sort on big shards
+    if haystack.shape[0] > 4096 and recall < 1.0:
         dk, ik = jax.lax.approx_min_k(d.astype(jnp.float32), k,
                                       recall_target=recall)
         return dk.astype(jnp.int32), ik
@@ -251,6 +252,44 @@ def sharded_frame_search(mesh: Mesh, needles: jnp.ndarray, hashes: jnp.ndarray,
         return acc >> _FRAME_BITS, acc & _FRAME_MASK
 
     return run(needles, hashes, vidx, frame_no, valid)
+
+
+def sharded_flat_counts(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
+                        valid: jnp.ndarray, threshold, chunk: int = 1 << 16):
+    """Distributed per-needle flat hit count over a frame-sharded store
+    (the video↔video N² pre-gate, ops/video_search.flat_hit_counts): each
+    chip scans its frame shard in fused [Q × chunk] tiles, one psum over
+    ICI combines the exact counts — the collective is Q int32s per batch.
+
+    needles [Q, 2] u32 replicated; haystack [F, 2] u32 + valid [F] bool
+    sharded over the ``index`` axis.  @return counts [Q] int32 replicated."""
+    idx_axis = mesh.axis_names[1]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(idx_axis, None), P(idx_axis), P()),
+        out_specs=P(),
+        check_vma=False)
+    def run(n, h, v, t):
+        f = h.shape[0]
+        c = min(chunk, f)
+        pad = -f % c
+        if pad:
+            h = jnp.pad(h, ((0, pad), (0, 0)))
+            v = jnp.pad(v, (0, pad))
+        hs = h.reshape(-1, c, 2)
+        vs = v.reshape(-1, c)
+
+        def body(acc, inp):
+            hc, vc = inp
+            d = _chunk_dists(n[:, 0], n[:, 1], hc[:, 0], hc[:, 1])
+            hit = (d < t[0]) & vc[None, :]
+            return acc + hit.sum(axis=1, dtype=jnp.int32), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(n.shape[0], jnp.int32), (hs, vs))
+        return jax.lax.psum(acc, idx_axis)
+
+    return run(needles, haystack, valid, jnp.asarray([threshold], jnp.int32))
 
 
 def sharded_count_below(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,

@@ -53,6 +53,7 @@ class Database:
         self._lock = threading.RLock()
         self._algos: list[Index] = []
         self._weeds: set[tuple[str, str]] | None = None
+        self._weed_md5s: set[str] | None = None
         self._neg: set[tuple[str, str]] | None = None
         self._media_cache: dict[int, Media] | None = None
         self._create_tables()
@@ -383,13 +384,19 @@ class Database:
         if self._weeds is None:
             self._weeds = self._load_pairs("weeds.json")
         self._weeds.add((weed.md5, original.md5))
+        if self._weed_md5s is not None:
+            self._weed_md5s.add(weed.md5)
         self._save_pairs("weeds.json", self._weeds)
         return True
 
     def is_weed(self, m: Media) -> bool:
         if self._weeds is None:
             self._weeds = self._load_pairs("weeds.json")
-        return any(w == m.md5 for w, _ in self._weeds)
+        if self._weed_md5s is None:  # O(1) per item — every -similar group
+            # filter pass calls this; a linear any() over the pair set goes
+            # quadratic as the weed list grows
+            self._weed_md5s = {w for w, _ in self._weeds}
+        return m.md5 in self._weed_md5s
 
     def unweed(self, m: Media) -> bool:
         if self._weeds is None:
@@ -397,6 +404,7 @@ class Database:
         n = len(self._weeds)
         self._weeds = {p for p in self._weeds if p[0] != m.md5}
         if len(self._weeds) != n:
+            self._weed_md5s = None
             self._save_pairs("weeds.json", self._weeds)
             return True
         return False
@@ -462,10 +470,12 @@ class Database:
             if len(group) >= params.maxMatches:
                 break
             media = None
-            if id_map:
+            if id_map is not None:
                 media = id_map.get(match.mediaId)
             if media is None:
                 media = self.media_with_id(match.mediaId)
+                if id_map is not None:
+                    id_map[match.mediaId] = media
             if media.is_valid():
                 import copy
                 media = copy.copy(media)
@@ -477,13 +487,23 @@ class Database:
 
     def similar(self, params: SearchParams) -> MediaGroupList:
         """All-pairs search (reference Database::similar); needles go to the
-        device in batches via Index.find_batch."""
+        device in batches via Index.find_batch — or, when the index
+        supports it, entirely off the packed store arrays (find_all), so
+        only needles that actually hit ever materialize a Media."""
+        from ..utils.log import profile_stage
+        index: Index = self.load_index(params)
+
+        if not params.inSet and params.queryTypes & index.result_types():
+            with profile_stage(f"find_all algo={params.algo}"):
+                fast = index.find_all(params)
+            if fast is not None:
+                return self._similar_streamed(index, params, *fast)
+
         if params.inSet:
             haystack = list(params.set)
         else:
             haystack = self.media_with_type(params.queryTypes | params.resultTypes())
 
-        index: Index = self.load_index(params)
         sliced = None
         if params.inSet:
             ids = {m.id for m in params.set if m.type_flag() & params.resultTypes()}
@@ -495,34 +515,103 @@ class Database:
         id_map = {m.id: m for m in haystack}
         needles = [m for m in haystack if m.type_flag() & params.queryTypes]
 
-        tm = None
-        if params.templateMatch:
-            from ..host.template_matcher import TemplateMatcher
-            tm = TemplateMatcher()
-
-        from ..utils.log import profile_stage
         results: MediaGroupList = []
         with profile_stage(f"find_batch algo={params.algo} "
                            f"needles={len(needles)}"):
             all_matches = index.find_batch(needles, params)
+        all_matches = self._escalate_all(index, needles, params, all_matches)
+        tm = self._make_tm(params)
         for needle, matches in zip(needles, all_matches):
-            matches = self._escalate(index, needle, params, matches)
-            group = self._matches_to_group(index, needle, params, matches, id_map)
-            if group and tm is not None:
-                tm.match(needle, group, params)
-            if group:
-                needle2 = needle
-                # propagate the first matched frame into the needle's range so
-                # the GUI/dump can show the aligned frame (reference
-                # src/database.cpp:1410-1416)
-                for m in group:
-                    if m.matchRange.dstIn >= 0:
-                        import copy
-                        needle2 = copy.copy(needle)
-                        needle2.matchRange = MatchRange(-1, m.matchRange.srcIn, 1)
-                        break
-                results.append([needle2] + group)
+            self._append_group(results, index, params, needle, matches,
+                               id_map, tm)
+        return self._finish_groups(params, results)
 
+    def _similar_streamed(self, index: Index, params: SearchParams,
+                          store_ids, raw) -> MediaGroupList:
+        """Assemble -similar groups from a store-level N² result: Media
+        rows are fetched from SQL only for needles with hits and their
+        matches (bounded RSS at 10M+ items; the matched set is the small
+        one in a dup-sparse corpus)."""
+        tm = self._make_tm(params)
+        id_map: dict[int, Media] = {}
+        results: MediaGroupList = []
+        for row in range(len(store_ids)):
+            ids, dists = raw[row]
+            nid = int(store_ids[row])
+            if nid == 0 or len(ids) == 0:
+                continue
+            matches = [Match(int(i), int(d)) for i, d in zip(ids, dists)]
+            if params.filterSelf and all(m.mediaId == nid for m in matches):
+                continue  # lone self-hit: skip without touching SQL
+            needle = id_map.get(nid)
+            if needle is None:
+                needle = self.media_with_id(nid)
+                id_map[nid] = needle
+            if not needle.is_valid():
+                continue
+            self._append_group(results, index, params, needle, matches,
+                               id_map, tm)
+        return self._finish_groups(params, results)
+
+    def _make_tm(self, params: SearchParams):
+        if not params.templateMatch:
+            return None
+        from ..host.template_matcher import TemplateMatcher
+        return TemplateMatcher()
+
+    def _escalate_all(self, index: Index, needles: list[Media],
+                      params: SearchParams, all_matches: list) -> list:
+        """Batched maxThresh escalation: ONE find_batch per threshold step
+        over the still-short needles (the reference escalates per needle,
+        src/database.cpp:1691-1757 — dispatch-bound at N² scale)."""
+        if params.maxThresh <= 0:
+            return all_matches
+        tmp = params.copy()
+        pend = [i for i, m in enumerate(all_matches)
+                if len(m) <= params.minMatches]
+        while pend:
+            if params.algo in (SearchParams.ALGO_DCT,
+                               SearchParams.ALGO_DCT_FEATURES,
+                               SearchParams.ALGO_VIDEO):
+                tmp.dctThresh += 1
+                if tmp.dctThresh > params.maxThresh:
+                    break
+            elif params.algo == SearchParams.ALGO_CV_FEATURES:
+                tmp.cvThresh += 5
+                if tmp.cvThresh > params.maxThresh:
+                    break
+            else:
+                break
+            sub = index.find_batch([needles[i] for i in pend], tmp)
+            for i, m in zip(pend, sub):
+                all_matches[i] = m
+            pend = [i for i in pend if len(all_matches[i]) <= params.minMatches]
+        return all_matches
+
+    def _append_group(self, results: MediaGroupList, index: Index,
+                      params: SearchParams, needle: Media, matches: list,
+                      id_map: dict, tm) -> None:
+        group = self._matches_to_group(index, needle, params, matches, id_map)
+        if not group:
+            return
+        if tm is not None:
+            tm.match(needle, group, params)
+            if not group:
+                return
+        needle2 = needle
+        # propagate the first matched frame into the needle's range so
+        # the GUI/dump can show the aligned frame (reference
+        # src/database.cpp:1410-1416)
+        for m in group:
+            if m.matchRange.dstIn >= 0:
+                import copy
+                needle2 = copy.copy(needle)
+                needle2.matchRange = MatchRange(-1, m.matchRange.srcIn, 1)
+                break
+        results.append([needle2] + group)
+
+    def _finish_groups(self, params: SearchParams,
+                       results: MediaGroupList) -> MediaGroupList:
         out: MediaGroupList = []
         for group in results:
             if not self.filter_match(params, group):

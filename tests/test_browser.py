@@ -19,9 +19,25 @@ def _get(url):
         return r.status, r.read()
 
 
-def _post(url, payload):
+_tokens: dict = {}
+
+
+def _token(base_url):
+    """Session CSRF token, parsed out of the served page like the real
+    client's JS does."""
+    if base_url not in _tokens:
+        import re
+        _, body = _get(base_url)
+        _tokens[base_url] = re.search(
+            rb'TOKEN="([0-9a-f]+)"', body).group(1).decode()
+    return _tokens[base_url]
+
+
+def _post(url, payload, token=True):
+    base = url.split("api/")[0]
+    headers = {"X-Cbird-Token": _token(base)} if token else {}
     req = urllib.request.Request(url, data=json.dumps(payload).encode(),
-                                 method="POST")
+                                 method="POST", headers=headers)
     try:
         with urllib.request.urlopen(req, timeout=10) as r:
             return r.status, json.loads(r.read())
@@ -125,6 +141,18 @@ def test_browser_serves_original(browser):
     assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
     with open(eng.db.media_with_id(item["id"]).path, "rb") as f:
         assert body == f.read()
+
+
+def test_browser_csrf_token_required(browser):
+    """POSTs without the page-embedded session token are rejected — a
+    cross-origin page can't read the token, closing the CSRF surface on
+    the process-launching and destructive endpoints."""
+    eng, groups, url = browser
+    mid = groups[0][0].id
+    status, resp = _post(url + "api/delete", {"id": mid}, token=False)
+    assert status == 403 and "token" in resp["error"]
+    status, resp = _post(url + "api/open", {"id": mid}, token=False)
+    assert status == 403
 
 
 def test_transform_groups():

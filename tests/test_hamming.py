@@ -217,6 +217,32 @@ def test_search_self_tombstones(rng, monkeypatch):
     assert len(tri[500][0]) == 0 and len(tri[1500][0]) == 0
 
 
+def test_search_self_recall_miss_repair(rng, monkeypatch):
+    """A dropped approx_min_k hit (simulated) must be caught by the exact
+    count-phase invariant and repaired by the recall=1.0 rescan — without
+    it, a mirrored-only needle silently loses its only match."""
+    _single_device(monkeypatch)
+    n = 2048
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    hashes[1900] = hashes[3] ^ np.uint64(1)  # the pair the scan will "miss"
+    store = PackedHashStore(hashes, np.arange(1, n + 1, dtype=np.uint32))
+
+    real = PackedHashStore._topk_call
+
+    def flaky(nb, pairs_dev, valid_dev, k, recall=0.99):
+        d, i = real(nb, pairs_dev, valid_dev, k, recall)
+        if recall < 1.0:  # approx scans always drop row 1900; exact keeps it
+            d = np.asarray(d).copy()
+            i = np.asarray(i)
+            d[i == 1900] = 0x7FFF
+        return d, i
+
+    monkeypatch.setattr(PackedHashStore, "_topk_call", staticmethod(flaky))
+    tri = store.search_self(5, k=16, rows=256, cols=512, min_n=0)
+    assert 1901 in tri[3][0], "invariant rescan failed to restore the hit"
+    assert 4 in tri[1900][0], "mirror lost the repaired pair"
+
+
 def test_search_self_big_cluster_overflow(rng, monkeypatch):
     """A duplicate cluster larger than k: saturated source lists must be
     escalated so mirrored-only needles (e.g. the cluster's last row) don't

@@ -72,6 +72,71 @@ def test_sharded_tombstones(mesh, rng):
     assert (i >= 1024).all()  # no tombstoned row ever returned
 
 
+def test_sharded_frame_search(mesh, rng):
+    """Per-video segment-min over frame-sharded rows must equal the
+    single-device reduction bit-for-bit (packed dist<<24|frame pmin)."""
+    from cbird_tpu.ops.video_search import frame_search
+    from cbird_tpu.parallel.sharded import shard_rows, sharded_frame_search
+    f, v, q = 2048, 16, 8  # f divisible by the index axis (4)
+    hashes = rng.integers(0, 2**32, size=(f, 2), dtype=np.uint32)
+    vidx = rng.integers(0, v, size=f).astype(np.int32)
+    frame_no = rng.integers(0, 5000, size=f).astype(np.int32)
+    valid = rng.random(f) > 0.1
+    needles = np.concatenate([hashes[:4], rng.integers(0, 2**32, (4, 2), dtype=np.uint32)])
+
+    d1, f1 = frame_search(jnp.asarray(needles), jnp.asarray(hashes),
+                          jnp.asarray(vidx), jnp.asarray(frame_no),
+                          jnp.asarray(valid), num_videos=v)
+    hs, vs, fs, ok = shard_rows(mesh, hashes, vidx, frame_no, valid)
+    d2, f2 = sharded_frame_search(mesh, jnp.asarray(needles), hs, vs, fs, ok,
+                                  num_videos=v)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_sharded_flat_counts(mesh, rng):
+    """The sharded video-gate count must be exact (== numpy brute force)."""
+    from cbird_tpu.parallel.sharded import shard_rows, sharded_flat_counts
+    f, q = 4096, 32
+    hashes = rng.integers(0, 2**32, size=(f, 2), dtype=np.uint32)
+    valid = rng.random(f) > 0.2
+    needles = np.concatenate([hashes[:16],
+                              rng.integers(0, 2**32, (16, 2), dtype=np.uint32)])
+    t = 12
+    hs, ok = shard_rows(mesh, hashes, valid)
+    got = np.asarray(sharded_flat_counts(mesh, jnp.asarray(needles), hs, ok, t))
+    d = (np.bitwise_count(needles[:, None, 0] ^ hashes[None, :, 0])
+         + np.bitwise_count(needles[:, None, 1] ^ hashes[None, :, 1]))
+    want = ((d < t) & valid[None, :]).sum(axis=1).astype(np.int32)
+    assert np.array_equal(got, want)
+
+
+def test_video_store_gate_on_mesh(rng):
+    """PackedVideoStore.flat_hit_counts follows the sharded path under the
+    8-device conftest mesh and must equal brute-force frame counts."""
+    from cbird_tpu.ops.dct_hash import combine_u32
+    from cbird_tpu.ops.hamming import _search_mesh
+    from cbird_tpu.ops.video_search import PackedVideoStore
+    assert _search_mesh() is not None, "conftest mesh missing"
+    store = PackedVideoStore()
+    all_hashes = []
+    for mid in range(1, 6):
+        n = 40 + 8 * mid
+        h = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+        store.add_video(mid, np.arange(n, dtype=np.int32) * 10, h)
+        all_hashes.append(h)
+    flat = np.concatenate(all_hashes)
+    needles = np.concatenate([flat[:10], rng.integers(1, 2**63, 6, np.uint64)])
+    t = 14
+    got = store.flat_hit_counts(needles, t)
+    pairs = flat.view(np.uint32).reshape(-1, 2)
+    np_pairs = needles.view(np.uint32).reshape(-1, 2)
+    d = (np.bitwise_count(np_pairs[:, None, 0] ^ pairs[None, :, 0])
+         + np.bitwise_count(np_pairs[:, None, 1] ^ pairs[None, :, 1]))
+    want = (d < t).sum(axis=1).astype(np.int32)
+    assert np.array_equal(got, want)
+
+
 def test_multihost_helpers():
     """Single-process degeneration of the multi-host API (full DCN path
     needs real pods; here init is a no-op and the mesh falls back)."""

@@ -272,6 +272,75 @@ def test_make_video_index(tmp_path):
     assert len(idx.frames) == len(idx.hashes)
 
 
+def test_parallel_video_ingest(tmp_path):
+    """process_videos runs ≥4 decodes concurrently (a Barrier(4) in the
+    decode path only releases when all four workers are inside it) and
+    yields one result per file with per-file error isolation."""
+    import threading
+
+    from cbird_tpu.host import video as hv
+
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"v{i}.fseq")
+        FseqBackend.save(p, make_frames(24, seed=i), 10.0)
+        paths.append(p)
+    bad = str(tmp_path / "broken.fseq")
+    with open(bad, "wb") as f:
+        f.write(b"not an npz")
+
+    barrier = threading.Barrier(4, timeout=30)
+    orig = FseqBackend.frames
+    in_flight = []
+
+    def gated(self, path, max_side=hv.DECODE_MAX_SIDE, start=0):
+        barrier.wait(timeout=30)  # only passes with 4 decoders in flight
+        in_flight.append(path)
+        yield from orig(self, path, max_side, start)
+
+    try:
+        FseqBackend.frames = gated
+        results = dict(hv.process_videos(paths, IndexParams(), workers=4))
+    finally:
+        FseqBackend.frames = orig
+    assert len(in_flight) == 4 and not barrier.broken
+    assert all(results[p] is not None and not results[p].videoIndex.is_empty()
+               for p in paths)
+
+    # the broken file isolates: others still index (serial path, 1 worker)
+    results = dict(hv.process_videos([bad, paths[0]], IndexParams(), workers=1))
+    assert results[bad] is None and results[paths[0]] is not None
+
+
+def test_video_needle_image_algo(tmp_path):
+    """-similar-to <video> with an image algo grabs evenly-spaced frames
+    and queries them as image needles: the video's poster frames (indexed
+    as images) must come back (reference src/main.cpp:1136-1196)."""
+    from PIL import Image
+
+    from cbird_tpu.host.engine import Engine
+
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    full = make_frames(160, seed=7)
+    FseqBackend.save(os.path.join(root, "full.fseq"), full, 25.0)
+    # posters at exactly the grab targets total*i//10 (total=160)
+    for i in (16, 80, 144):
+        Image.fromarray(full[i]).save(os.path.join(root, f"poster{i}.png"))
+    params = IndexParams()
+    params.algos = (1 << 0) | (1 << 4)
+    params.minFileSize = 64
+    eng = Engine(root, params)
+    stats = eng.update()
+    assert stats["added"] == 4, stats
+    sp = SearchParams()
+    sp.algo = SearchParams.ALGO_DCT
+    matches = eng.query(Media(os.path.join(root, "full.fseq")), sp)
+    names = {os.path.basename(m.path) for m in matches}
+    assert {"poster16.png", "poster80.png", "poster144.png"} <= names, names
+    eng.db.close()
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: index + video-to-video + image-to-video search
 # ---------------------------------------------------------------------------
@@ -536,6 +605,81 @@ def test_video_n2_batched_gate(monkeypatch):
                [(m.mediaId, m.score) for m in s]
     assert any(m.mediaId == 10 for m in batched[2])
     assert any(m.mediaId == 3 for m in batched[9])
+
+
+def test_video_n2_batched_gate_sharded():
+    """Same gated-vs-single equivalence over the 8-device conftest mesh:
+    the gate runs through parallel.sharded.sharded_flat_counts and the
+    detailed search through sharded_frame_search."""
+    from cbird_tpu.index.dct_video_index import DctVideoIndex
+    from cbird_tpu.ops import hamming
+    from cbird_tpu.params import SearchParams, TYPE_VIDEO
+
+    assert hamming._search_mesh() is not None, "conftest mesh missing"
+    rng = np.random.default_rng(8)
+    idx = DctVideoIndex()
+    idx._loaded = True
+    media = []
+    base = rng.integers(1, 2**63, size=120, dtype=np.uint64)
+    for v in range(12):
+        hashes = rng.integers(1, 2**63, size=120, dtype=np.uint64)
+        if v == 2:
+            hashes = base.copy()
+        if v == 9:  # duplicate clip of video 2's middle
+            hashes[10:90] = base[20:100]
+        m = Media(f"/x/{v}.mp4", TYPE_VIDEO, 64, 64, f"v{v}")
+        m.id = v + 1
+        m.videoIndex = VideoIndexData(
+            frames=np.arange(120, dtype=np.int32) * 10, hashes=hashes)
+        idx._store.add_video(m.id, m.videoIndex.frames, m.videoIndex.hashes)
+        media.append(m)
+    sp = SearchParams()
+    sp.skipFrames = 0
+    batched = idx.find_batch(media, sp)
+    single = [idx._find_video(m, sp) for m in media]
+    for b, s in zip(batched, single):
+        assert [(m.mediaId, m.score) for m in b] == \
+               [(m.mediaId, m.score) for m in s]
+    assert any(m.mediaId == 10 for m in batched[2])
+    assert any(m.mediaId == 3 for m in batched[9])
+
+
+def test_video_n2_gate_diverged_needle(monkeypatch):
+    """A stored needle whose caller-supplied videoIndex DIVERGES from the
+    stored .vdx must not have its cross hits undercounted by an assumed
+    per-frame self-hit: self hits are derived from actual membership in
+    the stored hash set."""
+    from cbird_tpu.index.dct_video_index import DctVideoIndex
+    from cbird_tpu.ops import hamming
+    from cbird_tpu.params import SearchParams, TYPE_VIDEO
+
+    monkeypatch.setattr(hamming, "_MESH", None)
+    rng = np.random.default_rng(21)
+    idx = DctVideoIndex()
+    idx._loaded = True
+    media = []
+    stored = []
+    for v in range(12):
+        hashes = rng.integers(1, 2**63, size=120, dtype=np.uint64)
+        m = Media(f"/x/{v}.mp4", TYPE_VIDEO, 64, 64, f"v{v}")
+        m.id = v + 1
+        m.videoIndex = VideoIndexData(
+            frames=np.arange(120, dtype=np.int32) * 10, hashes=hashes)
+        idx._store.add_video(m.id, m.videoIndex.frames, m.videoIndex.hashes)
+        stored.append(hashes)
+        media.append(m)
+    # needle 2's in-memory index was re-built and now matches video 5's
+    # content — every frame hits video 5 exactly ONCE (c == 1); the old
+    # "stored needle ⇒ self_hits=1" assumption gated these to zero
+    media[1].videoIndex = VideoIndexData(
+        frames=np.arange(120, dtype=np.int32) * 10,
+        hashes=stored[4].copy())
+    sp = SearchParams()
+    sp.skipFrames = 0
+    sp.filterSelf = True
+    batched = idx.find_batch(media, sp)
+    assert any(m.mediaId == 5 for m in batched[1]), \
+        "diverged stored needle lost its only cross-video match"
 
 
 def test_video_n2_empty_store(monkeypatch):
