@@ -69,6 +69,9 @@ usage: cbird [args...]   (arguments are executed in order)
     -browse             interactive web browser for results (delete/weed
                         actions write back to the index; Quit to exit)
     -max-per-page <n>   groups per page in -browse (default 12)
+    -serve              resident query daemon (warm index + compiled
+                        programs; CBIRD_SERVE_ADDR=host:port to bind,
+                        clients set CBIRD_SERVER=host:port)
     -dump               print result groups as text
     -json               print result groups as JSON
     -count              print number of groups/items
@@ -121,7 +124,7 @@ _KNOWN_VERBS = [
     "-install", "-sort", "-sort-rev", "-sort-result",
     "-sort-result-rev", "-sort-similar", "-merge", "-group-by", "-head", "-tail",
     "-first", "-first-sibling", "-chop", "-dump", "-json", "-count", "-show",
-    "-browse", "-max-per-page",
+    "-browse", "-max-per-page", "-serve",
     "-test-csv", "-test-image-search", "-select-files", "-select-sql",
     "-select-grid",
     "-list-formats", "-qualityscore", "-jpeg-repair-script",
@@ -273,6 +276,20 @@ class Cli:
             return i + 1
         if a == "-similar-to":
             target = os.path.abspath(self._need(args, i, "a file"))
+            server = os.environ.get("CBIRD_SERVER")
+            if server and not os.path.isdir(target):
+                # route to a resident -serve daemon: no index load, no
+                # compile — one dispatch on the warm engine
+                from .serve import QueryClient, remote_groups_to_media
+                c = QueryClient(server)
+                try:
+                    overrides = {k: v for k, v in self.search.changed_kv()}
+                    self.result = remote_groups_to_media(
+                        c.query(target, **overrides))
+                finally:
+                    c.close()
+                info(f"{sum(len(g) - 1 for g in self.result)} matches")
+                return i + 2
             if os.path.isdir(target):
                 # directory needle: query every indexed file under it
                 # (reference -similar-to <dir>, src/main.cpp:1104-1263)
@@ -616,6 +633,14 @@ complete -F _cbird_complete cbird""")
             out = os.environ.get("CBIRD_REPORT",
                                  os.path.join(self.index_dir, "cbird-results.html"))
             write_report(self.result, out, title=f"cbird {self.index_dir}")
+            return i + 1
+        if a == "-serve":
+            # resident query daemon: index + compiled programs stay warm so
+            # a query is one dispatch (clients route via CBIRD_SERVER)
+            from .serve import serve_cli
+            addr = os.environ.get("CBIRD_SERVE_ADDR", "127.0.0.1:0")
+            host, _, port = addr.rpartition(":")
+            serve_cli(self.engine(), host or "127.0.0.1", int(port or 0))
             return i + 1
         if a == "-browse":
             from .browser import serve_browser, transform_groups

@@ -116,6 +116,10 @@ def estimate_similarity_ransac(p: np.ndarray, q: np.ndarray,
     return _ls_similarity(p[best_inliers], q[best_inliers])
 
 
+_FEATURE_BATCH = 16      # device batch bucket cap (bounds compiled shapes)
+_DECODE_CACHE_MAX = 64   # grayscale decode LRU entries
+
+
 class TemplateMatcher:
     def __init__(self, decode=None):
         # decode(path) -> DecodedImage with .gray at the indexing prescale
@@ -125,28 +129,64 @@ class TemplateMatcher:
         self._decode = decode
         self._cache: dict[tuple[str, str], int] = {}
         self._lock = threading.Lock()
+        from collections import OrderedDict
+        self._grays: "OrderedDict[str, np.ndarray | None]" = OrderedDict()
+
+    def _decode_gray(self, path: str) -> np.ndarray | None:
+        """LRU-cached grayscale decode — a candidate appearing in many
+        groups (common for popular dups) decodes once, not per pair."""
+        with self._lock:
+            if path in self._grays:
+                self._grays.move_to_end(path)
+                return self._grays[path]
+        d = self._decode(path)
+        gray = d.gray if d.gray is not None else None
+        with self._lock:
+            self._grays[path] = gray
+            while len(self._grays) > _DECODE_CACHE_MAX:
+                self._grays.popitem(last=False)
+        return gray
 
     def _features(self, gray: np.ndarray, nfeatures: int):
+        return self._features_batch([gray], nfeatures)[0]
+
+    def _features_batch(self, grays: list[np.ndarray], nfeatures: int):
+        """ORB features for many images in ONE device pass per
+        power-of-two bucket (≤ _FEATURE_BATCH) — the per-candidate kernel
+        dispatch dominated -p.tm groups (SURVEY §2 #8)."""
         from ..ops.orb import CANVAS, _orb_kernel
         import jax.numpy as jnp
-        h, w = gray.shape
-        scale = 1.0
-        if max(h, w) > CANVAS:
-            scale = CANVAS / max(h, w)
-            im = Image.fromarray(gray).resize(
-                (max(1, round(w * scale)), max(1, round(h * scale))), Image.BOX)
-            gray = np.asarray(im)
-        canvas = np.zeros((1, CANVAS, CANVAS), dtype=np.float32)
-        canvas[0, :gray.shape[0], :gray.shape[1]] = gray
-        sizes = np.array([gray.shape], dtype=np.int32)
-        res = _orb_kernel(jnp.asarray(canvas), jnp.asarray(sizes), nfeatures)
-        valid = np.asarray(res["valid"][0])
-        xs = np.asarray(res["xs"][0])[valid] / scale
-        ys = np.asarray(res["ys"][0])[valid] / scale
-        desc = np.asarray(res["desc"][0])[valid]
-        desc = desc.view(np.uint8).reshape(len(desc), 32) if len(desc) \
-            else np.zeros((0, 32), np.uint8)
-        return xs, ys, desc
+        out = []
+        for s0 in range(0, len(grays), _FEATURE_BATCH):
+            chunk = grays[s0:s0 + _FEATURE_BATCH]
+            b = len(chunk)
+            bb = 1 << max(b - 1, 0).bit_length()  # bucket: 1,2,4,8,16
+            canvas = np.zeros((bb, CANVAS, CANVAS), dtype=np.float32)
+            sizes = np.full((bb, 2), 1, dtype=np.int32)
+            scales = np.ones(b)
+            for i, g in enumerate(chunk):
+                h, w = g.shape
+                s = 1.0
+                if max(h, w) > CANVAS:
+                    s = CANVAS / max(h, w)
+                    im = Image.fromarray(g).resize(
+                        (max(1, round(w * s)), max(1, round(h * s))),
+                        Image.BOX)
+                    g = np.asarray(im)
+                canvas[i, :g.shape[0], :g.shape[1]] = g
+                sizes[i] = g.shape
+                scales[i] = s
+            res = _orb_kernel(jnp.asarray(canvas), jnp.asarray(sizes),
+                              nfeatures)
+            for i in range(b):
+                valid = np.asarray(res["valid"][i])
+                xs = np.asarray(res["xs"][i])[valid] / scales[i]
+                ys = np.asarray(res["ys"][i])[valid] / scales[i]
+                desc = np.asarray(res["desc"][i])[valid]
+                desc = desc.view(np.uint8).reshape(len(desc), 32) \
+                    if len(desc) else np.zeros((0, 32), np.uint8)
+                out.append((xs, ys, desc))
+        return out
 
     def match(self, tmpl: Media, group: MediaGroup, params: SearchParams) -> None:
         """Filter ``group`` in place to candidates that verify against the
@@ -176,17 +216,33 @@ class TemplateMatcher:
             group.extend(sorted(good, key=lambda m: m.score))
             return
 
-        tdec = self._decode(tmpl.path)
-        if tdec.gray is None:
+        tmpl_gray = self._decode_gray(tmpl.path)
+        if tmpl_gray is None:
             warn(f"template matcher: cannot load {tmpl.path}")
             return
-        txs, tys, tdesc = self._features(tdec.gray, params.needleFeatures)
+        txs, tys, tdesc = self._features(tmpl_gray, params.needleFeatures)
         if len(tdesc) == 0:
             warn(f"template matcher: no keypoints in {tmpl.path}")
             return
 
+        # decode every candidate (LRU-cached), apply the -p.tscale shrink,
+        # then ONE batched device feature pass for the whole group
+        cands: list[tuple[Media, np.ndarray]] = []
         for m in todo:
-            dist = self._match_one(tdec.gray, txs, tys, tdesc, m, params)
+            g = self._decode_gray(m.path)
+            if g is None:
+                m.score = INT_MAX
+                if use_cache:
+                    with self._lock:
+                        self._cache[(m.md5, tmpl.md5)] = INT_MAX
+                continue
+            cands.append((m, self._tscale(tmpl_gray, g, params)))
+        feats = self._features_batch([g for _, g in cands],
+                                     params.haystackFeatures) if cands else []
+
+        for (m, cgray), (cxs, cys, cdesc) in zip(cands, feats):
+            dist = self._verify_pair(tmpl_gray, txs, tys, tdesc,
+                                     m, cgray, cxs, cys, cdesc, params)
             if use_cache:
                 with self._lock:
                     self._cache[(m.md5, tmpl.md5)] = dist
@@ -196,12 +252,29 @@ class TemplateMatcher:
 
         group.extend(sorted(good, key=lambda m: m.score))
 
-    def _match_one(self, tmpl_gray: np.ndarray, txs, tys, tdesc,
-                   m: Media, params: SearchParams) -> int:
-        cdec = self._decode(m.path)
-        if cdec.gray is None:
-            return INT_MAX
-        cxs, cys, cdesc = self._features(cdec.gray, params.haystackFeatures)
+    @staticmethod
+    def _tscale(tmpl_gray: np.ndarray, cand_gray: np.ndarray,
+                params: SearchParams) -> np.ndarray:
+        """-p.tscale: a candidate much larger than the template generates
+        features at scales the template never sees; shrink it so its max
+        side ≤ template max side × tmScalePct/100
+        (reference src/templatematcher.cpp:171-192)."""
+        th, tw = tmpl_gray.shape
+        ch, cw = cand_gray.shape
+        if th * tw >= ch * cw:
+            return cand_gray
+        c_size = max(ch, cw)
+        max_size = max(th, tw) * params.tmScalePct / 100.0
+        if c_size <= max_size:
+            return cand_gray
+        s = max_size / c_size
+        im = Image.fromarray(cand_gray).resize(
+            (max(1, round(cw * s)), max(1, round(ch * s))), Image.BILINEAR)
+        return np.asarray(im)
+
+    def _verify_pair(self, tmpl_gray: np.ndarray, txs, tys, tdesc,
+                     m: Media, cand_gray: np.ndarray, cxs, cys, cdesc,
+                     params: SearchParams) -> int:
         if len(cdesc) == 0:
             return INT_MAX
 
@@ -219,8 +292,8 @@ class TemplateMatcher:
         corners = np.array([[0, 0], [tw, 0], [tw, th], [0, th]], dtype=np.float64)
         roi = _apply(tx, corners)
         # map roi/transform back to the candidate's original resolution
-        cscale = max(m.width, m.height) / max(cdec.gray.shape) \
-            if m.width > 0 and max(cdec.gray.shape) > 0 else 1.0
+        cscale = max(m.width, m.height) / max(cand_gray.shape) \
+            if m.width > 0 and max(cand_gray.shape) > 0 else 1.0
         m.roi = [(float(x * cscale), float(y * cscale)) for x, y in roi]
         m.transform = (tx * cscale).tolist()
 
@@ -230,7 +303,7 @@ class TemplateMatcher:
         # exactly the forward template->candidate transform.
         if tx[0, 0] ** 2 + tx[1, 0] ** 2 < 1e-9:
             return INT_MAX
-        cand = Image.fromarray(cdec.gray)
+        cand = Image.fromarray(cand_gray)
         warped = cand.transform((tw, th), Image.AFFINE,
                                 (tx[0, 0], tx[0, 1], tx[0, 2],
                                  tx[1, 0], tx[1, 1], tx[1, 2]),

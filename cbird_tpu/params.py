@@ -160,6 +160,12 @@ class Params:
     def was_set(self, key: str) -> bool:
         return key in self._explicit
 
+    def changed_kv(self) -> list[tuple[str, str]]:
+        """Explicitly-set parameters as (key, formatted-value) pairs —
+        round-trippable through set_param (the -serve client protocol)."""
+        return [(k, self.spec(k).format(self.get_param(k)))
+                for k in sorted(self._explicit)]
+
     def help_text(self) -> str:
         lines = [f"{self.VALUE_LABEL}s:"]
         by_cat: dict[int, list[ParamSpec]] = {}

@@ -110,6 +110,50 @@ def test_template_match_accepts_shifted(tm_setup):
     assert cand.transform is not None
 
 
+def test_tscale_shrinks_oversized_candidate():
+    """-p.tscale caps the candidate's size relative to the template
+    (reference src/templatematcher.cpp:171-192): behavior must change
+    with the knob."""
+    rng = np.random.default_rng(9)
+    tmpl = textured(rng, 100, 120)
+    cand = textured(rng, 800, 960)
+    sp = SearchParams()
+    sp.tmScalePct = 200
+    out = TemplateMatcher._tscale(tmpl, cand, sp)
+    assert max(out.shape) == 240  # 120 * 200%
+    sp.tmScalePct = 400
+    out = TemplateMatcher._tscale(tmpl, cand, sp)
+    assert max(out.shape) == 480  # knob changes the result
+    # candidate smaller than template: untouched
+    small = textured(rng, 50, 60)
+    assert TemplateMatcher._tscale(tmpl, small, sp) is small
+
+
+def test_template_match_batched_group(tm_setup):
+    """A multi-candidate group goes through one batched feature pass and
+    still verifies the true match only."""
+    root = tm_setup
+    tm = TemplateMatcher()
+    params = SearchParams()
+    params.needleFeatures = 400
+    params.haystackFeatures = 400
+    tmpl = _media(root, "orig.png")
+    calls = []
+    orig_batch = tm._features_batch
+
+    def counting(grays, nf):
+        calls.append(len(grays))
+        return orig_batch(grays, nf)
+
+    tm._features_batch = counting
+    group = [_media(root, "shifted.png"), _media(root, "other.png"),
+             _media(root, "shifted.png")]
+    tm.match(tmpl, group, params)
+    # one 1-image pass for the template + ONE pass for all 3 candidates
+    assert calls == [1, 3], calls
+    assert {os.path.basename(m.path) for m in group} == {"shifted.png"}
+
+
 def test_template_match_cache(tm_setup):
     root = tm_setup
     tm = TemplateMatcher()
