@@ -11,10 +11,16 @@ write back to the Database exactly like the GUI slots do:
 - **negative**: record a false-match pair (Database::addNegativeMatch)
 - **unweed**: remove a weed record
 
+The dedup workflow is keyboard-driven like the reference list widget
+(j/k/h/l select, d delete, w weed, x negative, c compare, g quality,
+n/p page); image pairs open a zoom/pan-synced A/B compare with an
+absolute-difference overlay (VideoCompareWidget analog for images),
+and `g` fills no-reference quality scores into the item cards.
+
 Serves on 127.0.0.1 only; `-browse` blocks until Quit is pressed or the
 process is interrupted.  GET endpoints: `/` (app), `/api/groups?page=N`,
-`/thumb/<media id>`; POST: `/api/delete`, `/api/weed`, `/api/negative`,
-`/api/unweed`, `/api/quit`.
+`/thumb/<media id>`, `/diff?a=&b=`; POST: `/api/delete`, `/api/weed`,
+`/api/negative`, `/api/unweed`, `/api/quality`, `/api/quit`.
 """
 
 from __future__ import annotations
@@ -38,6 +44,11 @@ body { background:#1e1e24; color:#ddd; font-family:sans-serif; margin:1em; }
 .item.needle { outline:2px solid #4a9; }
 .item.weed { outline:2px solid #a44; }
 .item.removed { opacity:.35; }
+.item.sel { outline:2px dashed #dd4; }
+.pane { overflow:hidden; width:44vw; height:68vh; background:#000;
+        border:1px solid #555; }
+.pane img { transform-origin:0 0; max-width:none; display:block; }
+.keyhelp { font-size:.7em; color:#888; }
 .item img { max-width:256px; max-height:256px; display:block; }
 .meta { font-size:.75em; color:#aaa; word-break:break-all; }
 .score { color:#4a9; font-weight:bold; }
@@ -66,7 +77,88 @@ async function api(path, body) {
 }
 async function act(action, id, other) {
   const r = await api('/api/' + action, {id: id, other: other});
-  if (r.error) alert(r.error); else load(page);
+  if (r.error) alert(r.error); else { await load(page); highlight(); }
+}
+let lastData = null, selG = 0, selI = 1;
+function highlight() {
+  document.querySelectorAll('.item.sel').forEach(e => e.classList.remove('sel'));
+  const gs = document.querySelectorAll('#groups .group');
+  if (!gs.length) return;
+  selG = Math.max(0, Math.min(selG, gs.length - 1));
+  const its = gs[selG].querySelectorAll('.item');
+  selI = Math.max(0, Math.min(selI, its.length - 1));
+  if (its.length) { its[selI].classList.add('sel');
+    its[selI].scrollIntoView({block: 'nearest'}); }
+}
+function selected() {
+  if (!lastData || !lastData.groups[selG]) return null;
+  const g = lastData.groups[selG];
+  return {g: g, m: g.items[selI], needle: g.items[0]};
+}
+async function qualGroup() {
+  const s = selected(); if (!s) return;
+  for (const m of s.g.items) if (!m.removed) await api('/api/quality', {id: m.id});
+  await load(page); highlight();
+}
+document.addEventListener('keydown', async (e) => {
+  if (e.target.tagName === 'INPUT' || e.ctrlKey || e.metaKey) return;
+  const k = e.key, ov = document.getElementById('overlay');
+  if (k === 'Escape') { ov.style.display = 'none'; return; }
+  if (k === 'n' || k === 'PageDown') { await load(page + 1); selG = 0; selI = 1; highlight(); }
+  else if (k === 'p' || k === 'PageUp') { await load(page - 1); selG = 0; selI = 1; highlight(); }
+  else if (k === 'j' || k === 'ArrowDown') { selG++; selI = 1; highlight(); }
+  else if (k === 'k' || k === 'ArrowUp') { selG--; selI = 1; highlight(); }
+  else if (k === 'l' || k === 'ArrowRight') { selI++; highlight(); }
+  else if (k === 'h' || k === 'ArrowLeft') { selI--; highlight(); }
+  else {
+    const s = selected(); if (!s || !s.m) return;
+    if (k === 'd' || k === 'Delete') await act('delete', s.m.id);
+    else if (k === 'w' && selI > 0) await act('weed', s.m.id, s.needle.id);
+    else if (k === 'x' && selI > 0) await act('negative', s.m.id, s.needle.id);
+    else if (k === 'o') await act('open', s.m.id);
+    else if (k === 'g') await qualGroup();
+    else if (k === 'c' && selI > 0) {
+      if (s.m.video && s.needle.video) await compare(s.needle.id, s.m.id);
+      else await icompare(s.needle.id, s.m.id);
+    } else return;
+  }
+  e.preventDefault();
+});
+let zoom = 1, panX = 0, panY = 0, diffMode = false;
+function applyT() {
+  for (const id of ['cmpA', 'cmpB']) {
+    const el = document.getElementById(id);
+    if (el) el.style.transform =
+      'translate(' + panX + 'px,' + panY + 'px) scale(' + zoom + ')';
+  }
+}
+function wirePanZoom() {
+  const wrap = document.getElementById('cmpwrap');
+  let drag = null;
+  wrap.onwheel = (e) => { e.preventDefault();
+    zoom = Math.max(0.2, Math.min(16, zoom * (e.deltaY < 0 ? 1.2 : 1 / 1.2)));
+    applyT(); };
+  wrap.onmousedown = (e) => { drag = [e.clientX - panX, e.clientY - panY]; e.preventDefault(); };
+  window.onmousemove = (e) => { if (drag) {
+    panX = e.clientX - drag[0]; panY = e.clientY - drag[1]; applyT(); } };
+  window.onmouseup = () => drag = null;
+}
+async function icompare(a, b) {
+  zoom = 1; panX = panY = 0; diffMode = false;
+  const ov = document.getElementById('overlay');
+  ov.style.display = 'block';
+  ov.innerHTML = '<h2>compare <button onclick="toggleDiff(' + a + ',' + b + ')">diff</button> ' +
+    '<button onclick="document.getElementById(\\'overlay\\').style.display=\\'none\\'">close</button>' +
+    ' <span class="keyhelp">wheel = zoom, drag = pan (both panes synced); Esc closes</span></h2>' +
+    '<div class="cmp" id="cmpwrap">' +
+    '<div class="pane"><img id="cmpA" src="/file/' + a + '"></div>' +
+    '<div class="pane"><img id="cmpB" src="/file/' + b + '"></div></div>';
+  wirePanZoom();
+}
+function toggleDiff(a, b) {
+  diffMode = !diffMode;
+  document.getElementById('cmpB').src =
+    diffMode ? ('/diff?a=' + a + '&b=' + b) : ('/file/' + b);
 }
 async function quit() { await api('/api/quit', {}); document.body.innerHTML = '<h1>bye</h1>'; }
 async function compare(a, b) {
@@ -100,6 +192,7 @@ async function updateIndex() {
 }
 async function load(p) {
   const d = await api('/api/groups?page=' + p);
+  lastData = d;
   page = d.page;
   document.getElementById('title').textContent =
     d.title + ' — ' + d.total_groups + ' groups, page ' + (d.page+1) + '/' + d.pages;
@@ -121,13 +214,15 @@ async function load(p) {
         '<img loading="lazy" src="/thumb/' + m.id + '"></a>' +
         '<div class="meta">' + esc(m.name) + '<br>' + esc(m.dims) +
         (m.score>=0 ? ' <span class="score">score ' + m.score + '</span>' : '') +
+        (m.quality != null ? ' <span class="score">q=' + m.quality + '</span>' : '') +
         (m.range ? ' ' + m.range : '') + (m.weed ? ' WEED' : '') + '</div>' +
         (m.removed ? '<i>removed</i>' :
          '<button onclick="act(\\'delete\\',' + m.id + ')">delete</button>' +
          (j>0 ? '<button onclick="act(\\'weed\\',' + m.id + ',' + needleId + ')">weed</button>' +
                 '<button onclick="act(\\'negative\\',' + m.id + ',' + needleId + ')">not a match</button>' +
                 (m.video && g.items[0].video ?
-                 '<button onclick="compare(' + needleId + ',' + m.id + ')">compare</button>' : '')
+                 '<button onclick="compare(' + needleId + ',' + m.id + ')">compare</button>' :
+                 '<button onclick="icompare(' + needleId + ',' + m.id + ')">compare</button>')
               : '') +
          (m.weed ? '<button onclick="act(\\'unweed\\',' + m.id + ')">unweed</button>' : '') +
          '<button onclick="act(\\'open\\',' + m.id + ')">open</button>' +
@@ -140,7 +235,7 @@ async function load(p) {
   document.getElementById('prev').disabled = page <= 0;
   document.getElementById('next').disabled = page >= d.pages - 1;
 }
-window.onload = () => load(0);
+window.onload = async () => { await load(0); highlight(); };
 """
 
 
@@ -155,6 +250,9 @@ def _page_html(title: str, token: str = "") -> str:
 <button onclick='quit()' style='float:right'>Quit</button>
 <button id='upd' onclick='updateIndex()' style='float:right'>Update index</button>
 </nav>
+<div class='keyhelp'>keys: j/k group &middot; h/l item &middot; n/p page &middot;
+d delete &middot; w weed &middot; x not-a-match &middot; c compare &middot;
+g quality &middot; o open &middot; Esc close</div>
 <div id='overlay' style='display:none'></div>
 <div id='groups'></div>
 <script>const TOKEN={json.dumps(token)};{_PAGE_JS}</script></body></html>"""
@@ -200,6 +298,7 @@ class BrowserState:
         self.max_per_page = max(1, max_per_page)
         self.removed: set[int] = set()
         self.lock = threading.Lock()
+        self._quality: dict[int, int] = {}
         self._media: dict[int, Media] = {}
         for g in self.groups:
             for m in g:
@@ -234,10 +333,58 @@ class BrowserState:
                     "weed": bool(self.db.is_weed(m)),
                     "removed": m.id in self.removed,
                     "video": m.type == Media.TypeVideo,
+                    "quality": self._quality.get(m.id),
                 })
             out.append({"index": n, "items": items})
         return {"title": self.title, "page": page, "pages": self.pages(),
                 "total_groups": len(self.groups), "groups": out}
+
+    def _decode(self, path: str):
+        from ..host.scanner import Scanner
+        if not hasattr(self, "_scanner"):
+            self._scanner = Scanner()
+        return self._scanner.decode_image(path)
+
+    def quality(self, mid: int):
+        """No-reference quality score on demand (the reference GUI's
+        quality-score column, src/gui/mediagrouplistwidget.cpp)."""
+        m = self.media(mid)
+        if m is None:
+            return "unknown media id"
+        if mid not in self._quality:
+            from ..ops.quality import quality_score
+            d = self._decode(m.path)
+            if d.gray is None:
+                return f"cannot decode {m.path}"
+            self._quality[mid] = int(quality_score(d.gray))
+        return {"id": mid, "quality": self._quality[mid]}
+
+    def image_diff(self, a: int, b: int):
+        """Absolute-difference JPEG of two images at a common size
+        (the reference compare view's visual diff)."""
+        import io as _io
+
+        import numpy as np
+        from PIL import Image as PImage
+        ma, mb = self.media(a), self.media(b)
+        if ma is None or mb is None:
+            return "unknown media id"
+        da, db_ = self._decode(ma.path), self._decode(mb.path)
+        if da.gray is None or db_.gray is None:
+            return "cannot decode"
+        h = min(da.gray.shape[0], db_.gray.shape[0])
+        w = min(da.gray.shape[1], db_.gray.shape[1])
+        pa = np.asarray(PImage.fromarray(da.gray).resize((w, h),
+                                                         PImage.BILINEAR),
+                        dtype=np.int16)
+        pb = np.asarray(PImage.fromarray(db_.gray).resize((w, h),
+                                                          PImage.BILINEAR),
+                        dtype=np.int16)
+        diff = np.abs(pa - pb)
+        out = (diff * (255.0 / max(int(diff.max()), 1))).astype(np.uint8)
+        buf = _io.BytesIO()
+        PImage.fromarray(out).save(buf, "JPEG", quality=85)
+        return buf.getvalue()
 
     # ---- actions (all mirror GUI slots writing to the Database) ----------
     def delete(self, mid: int) -> str | None:
@@ -397,6 +544,16 @@ class _Handler(BaseHTTPRequestHandler):
             if isinstance(out, str):
                 return self._json({"error": out}, 400)
             self._json(out)
+        elif url.path == "/diff":
+            q = parse_qs(url.query)
+            try:
+                a, b = int(q.get("a", ["0"])[0]), int(q.get("b", ["0"])[0])
+            except ValueError:
+                return self._send(400, b"bad ids", "text/plain")
+            out = self.state.image_diff(a, b)
+            if isinstance(out, str):
+                return self._send(404, out.encode(), "text/plain")
+            self._send(200, out, "image/jpeg")
         elif url.path.startswith("/vframe/"):
             # one decoded video frame: /vframe/<media id>/<frame no>
             parts = url.path.split("/")
@@ -488,6 +645,11 @@ class _Handler(BaseHTTPRequestHandler):
             err = s.open(mid)
         elif url.path == "/api/reveal":
             err = s.reveal(mid)
+        elif url.path == "/api/quality":
+            out = s.quality(mid)
+            if isinstance(out, str):
+                return self._json({"error": out}, 400)
+            return self._json(out)
         elif url.path == "/api/update":
             err = s.start_update()
         elif url.path == "/api/update_status":

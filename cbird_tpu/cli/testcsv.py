@@ -17,8 +17,17 @@ from ..store.media import Media
 from ..utils.log import info, warn
 
 
-def run_test_csv(engine, params, csv_path: str) -> dict:
-    """@return {"rows": n, "pass": n_pass, "fail": n_fail}"""
+def run_test_csv(engine, params, csv_path: str,
+                 truth: dict[str, set[str]] | None = None) -> dict:
+    """@return {"rows": n, "pass": n_pass, "fail": n_fail,
+                "precision": float, "recall": float}
+
+    recall    = Σ|expected ∩ got| / Σ|expected|   (micro-averaged)
+    precision = Σ|true ∩ got| / Σ|got| where true is ``truth[needle]``
+                when given (ALL acceptable matches, e.g. every same-base
+                sibling) else the row's expected set — so rows may list
+                only the must-find files without extra hits counting as
+                false positives."""
     root = engine.db.path()
 
     def resolve(p: str) -> str:
@@ -35,6 +44,7 @@ def run_test_csv(engine, params, csv_path: str) -> dict:
     out_path = os.path.join(os.path.dirname(os.path.abspath(csv_path)),
                             "match.csv")
     n_pass = n_fail = 0
+    want_total = want_found = got_total = got_true = 0
     with open(out_path, "w", newline="") as out:
         w = csv.writer(out)
         w.writerow(["needle", "expected", "found", "result", "matches"])
@@ -49,11 +59,22 @@ def run_test_csv(engine, params, csv_path: str) -> dict:
             ok = expected <= got if expected else bool(got)
             n_pass += ok
             n_fail += not ok
+            want_total += len(expected)
+            want_found += len(expected & got)
+            true_set = expected
+            if truth is not None:
+                true_set = truth.get(os.path.basename(needle_path), expected)
+            got_total += len(got)
+            got_true += len(got & true_set)
             w.writerow([rec[0], ";".join(sorted(expected)),
                         ";".join(sorted(got)), "pass" if ok else "FAIL",
                         len(matches)])
             if not ok:
                 warn(f"test-csv FAIL: {rec[0]} expected {sorted(expected)} "
                      f"got {sorted(got)}")
-    info(f"test-csv: {n_pass}/{len(rows)} passed -> {out_path}")
-    return {"rows": len(rows), "pass": n_pass, "fail": n_fail}
+    recall = want_found / want_total if want_total else 1.0
+    precision = got_true / got_total if got_total else 1.0
+    info(f"test-csv: {n_pass}/{len(rows)} passed, recall {recall:.3f}, "
+         f"precision {precision:.3f} -> {out_path}")
+    return {"rows": len(rows), "pass": n_pass, "fail": n_fail,
+            "precision": precision, "recall": recall}

@@ -55,7 +55,10 @@ def init_distributed(coordinator: str | None = None,
     import os
 
     import jax
-    if jax.process_count() > 1:
+    # do NOT probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() refuses to run
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return jax.process_count()  # already initialized
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator or os.environ.get("JAX_NUM_PROCESSES"):
@@ -77,11 +80,18 @@ def make_multihost_mesh(axes: tuple[str, str] = ("batch", "index")) -> Mesh:
     single process this degenerates to make_mesh()."""
     if jax.process_count() == 1:
         return make_mesh()
-    from jax.experimental import mesh_utils
     local = jax.local_device_count()
-    dev = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(1, local),
-        dcn_mesh_shape=(jax.process_count(), 1))
+    try:
+        from jax.experimental import mesh_utils
+        dev = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, local),
+            dcn_mesh_shape=(jax.process_count(), 1))
+    except ValueError:
+        # backends without slice metadata (e.g. the CPU backend used for
+        # multi-process validation): group devices by process manually —
+        # the same topology intent, index axis within a process
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        dev = np.array(devs).reshape(jax.process_count(), local)
     return Mesh(dev, axes)
 
 

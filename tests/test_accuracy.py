@@ -1,0 +1,88 @@
+"""Accuracy gates on the photographic-statistics corpus (tests/corpus.py):
+per-algo recall/precision, dct-hash stability under JPEG recompression,
+and ORB rotation robustness.  The full 40-base table lives in
+docs/PARITY.md (python accuracy.py); CI runs a smaller corpus with the
+same generator and gates on thresholds."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(__file__))
+from corpus import photo_image  # noqa: E402
+
+
+def _run(root, bases, algos):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from accuracy import run_accuracy
+    return run_accuracy(str(root), n_base=bases, algos=algos,
+                        mirror_dct=("dct" in algos))
+
+
+def test_accuracy_dct_color(tmp_path):
+    res = _run(tmp_path / "acc", 8, ("dct", "color"))
+    assert res["dct"]["recall"] >= 0.95, res["dct"]
+    assert res["dct"]["precision"] >= 0.95, res["dct"]
+    assert res["color"]["recall"] >= 0.90, res["color"]
+    assert res["color"]["precision"] >= 0.80, res["color"]
+    assert res["dct+refl(mirror)"]["recall"] >= 0.90, res
+
+
+@pytest.mark.features  # ORB kernel compile tier
+def test_accuracy_features(tmp_path):
+    res = _run(tmp_path / "acc", 6, ("fdct", "orb"))
+    assert res["fdct"]["recall"] >= 0.80, res["fdct"]
+    assert res["orb"]["recall"] >= 0.80, res["orb"]
+    assert res["fdct"]["precision"] >= 0.80, res["fdct"]
+    assert res["orb"]["precision"] >= 0.80, res["orb"]
+
+
+def test_dct_recompression_stability(tmp_path):
+    """Hash bits survive JPEG requantization: ≤6 bits moved down to q50
+    (the recall target regime for -p.dht)."""
+    from cbird_tpu.ops.dct_hash import DctHasher
+    from cbird_tpu.ops.ref_numpy import hamming64
+    rng = np.random.default_rng(11)
+    h = DctHasher()
+    worst = 0
+    for i in range(6):
+        img = photo_image(rng, 280, 360)
+        im = Image.fromarray(img).convert("L")
+        grays = []
+        for q in (95, 75, 50):
+            p = str(tmp_path / f"i{i}_q{q}.jpg")
+            im.save(p, quality=q)
+            with Image.open(p) as r:
+                grays.append(np.asarray(r.convert("L")))
+        hashes = [int(x) for x in h.hash_images(grays, do_crop=False)]
+        worst = max(worst, hamming64(hashes[0], hashes[1]),
+                    hamming64(hashes[0], hashes[2]))
+    assert worst <= 6, f"recompression moved {worst} bits"
+
+
+@pytest.mark.features
+def test_orb_rotation_robustness(tmp_path):
+    """Oriented BRIEF must survive real rotation (the point of the O in
+    ORB): descriptors of a 15° and 30° rotated copy mutually match the
+    original's."""
+    from cbird_tpu.host.template_matcher import _mutual_radius_match
+    from cbird_tpu.ops.orb import extract_features_batch
+    rng = np.random.default_rng(13)
+    img = photo_image(rng, 300, 380)
+    gray = np.asarray(Image.fromarray(img).convert("L"))
+    variants = [gray]
+    for deg in (15, 30):
+        variants.append(np.asarray(
+            Image.fromarray(gray).rotate(deg, resample=Image.BILINEAR)))
+    feats = extract_features_batch(variants, 200, want_descriptors=True,
+                                   want_hashes=False)
+    d0 = feats[0][0]
+    assert d0 is not None and len(d0) >= 20
+    for deg, (desc, _) in zip((15, 30), feats[1:]):
+        pairs = _mutual_radius_match(d0, desc, radius=40)
+        assert len(pairs) >= max(6, len(d0) // 10), \
+            f"{deg}°: only {len(pairs)} of {len(d0)} descriptors matched"

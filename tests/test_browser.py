@@ -15,8 +15,11 @@ from fixtures import synth_image
 
 
 def _get(url):
-    with urllib.request.urlopen(url, timeout=10) as r:
-        return r.status, r.read()
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
 
 
 _tokens: dict = {}
@@ -141,6 +144,25 @@ def test_browser_serves_original(browser):
     assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
     with open(eng.db.media_with_id(item["id"]).path, "rb") as f:
         assert body == f.read()
+
+
+def test_browser_quality_and_diff(browser):
+    """Quality scores compute on demand and show in the payload; /diff
+    serves the A/B absolute-difference image for the compare overlay."""
+    eng, groups, url = browser
+    a, b = groups[0][0], groups[0][1]
+    status, resp = _post(url + "api/quality", {"id": a.id})
+    assert status == 200 and resp["quality"] > 0
+    # quality is cached into the page payload
+    status, body = _get(url + "api/groups?page=0")
+    data = json.loads(body)
+    got = {m["id"]: m["quality"] for g in data["groups"] for m in g["items"]}
+    assert got[a.id] == resp["quality"]
+
+    status, body = _get(url + f"diff?a={a.id}&b={b.id}")
+    assert status == 200 and body[:2] == b"\xff\xd8"  # JPEG magic
+    status, _ = _get(url + "diff?a=999&b=1")
+    assert status == 404
 
 
 def test_browser_csrf_token_required(browser):

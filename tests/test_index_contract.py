@@ -21,32 +21,21 @@ VARIANT_FOR = {"dct": "scaled", "color": "scaled", "fdct": "crop",
                "orb": "crop"}
 
 
-def _textured(rng, h, w, n=40):
-    """Colored noisy-block texture with strong, DISTINCT corners.  Smooth
-    gradients yield no >=31px keypoints (starving the feature algos);
-    constant-fill blocks make corner hashes near-identical (tie-unstable
-    votes); grayscale palettes degenerate the color algo's LUV k-means —
-    so: RGB blocks, distinct base colors, mild noise."""
-    img = (60 + 5 * rng.standard_normal((h, w, 3))).clip(0, 255).astype(np.uint8)
-    for _ in range(n):
-        y, x = rng.integers(0, h - 20), rng.integers(0, w - 20)
-        hh, ww = rng.integers(8, 50), rng.integers(8, 50)
-        base = rng.integers(30, 226, size=3).astype(np.float64)
-        block = img[y:y + hh, x:x + ww]  # may be clipped at the border
-        img[y:y + hh, x:x + ww] = (
-            base + 8 * rng.standard_normal(block.shape)).clip(0, 255)
-    return img
-
-
 def _make_corpus(root, n_base, size, seed):
     """Per base image: full size, a 75% rescale (dct/color territory) and a
     ~56% crop (fdct/orb territory) — the reference corpus is "40 images x 5
-    sizes" photos (unit/testindexbase.cpp:121-123)."""
+    sizes" photos (unit/testindexbase.cpp:121-123).  Bases come from the
+    photographic-statistics generator (corpus.photo_image: 1/f spectrum +
+    hard edges + color cast) so score boundaries behave like real photos —
+    the earlier noisy-block texture needed a strong-score filter to hide
+    tie-instability in the feature algos' weak tail."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from corpus import photo_image
     rng = np.random.default_rng(seed)
     h, w = size
     out = {}
     for i in range(n_base):
-        base = _textured(rng, h, w)
+        base = photo_image(rng, h, w)
         paths = {}
         p = os.path.join(root, f"img{i:03d}_full.png")
         Image.fromarray(base).save(p)
@@ -174,7 +163,7 @@ def test_add_remove_readd(contract_engine, algo):
     eng, root, groups = contract_engine
     sp = _params_for(algo)
     variant = VARIANT_FOR[algo]
-    strong = 20 if algo in ("fdct", "orb") else None
+    strong = None  # photo-statistics fixtures need no strong-score filter
     victims = [groups["img000"][variant], groups["img001"][variant]]
     probes = [groups[k]["full"] for k in ("img000", "img001", "img002")]
     before = _results_fingerprint(eng, probes, sp, strong)

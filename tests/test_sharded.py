@@ -146,3 +146,32 @@ def test_multihost_helpers():
     mesh = make_multihost_mesh()
     assert mesh.axis_names == ("batch", "index")
     assert int(np.prod(mesh.devices.shape)) == len(jax.devices())
+
+
+def test_multihost_two_process():
+    """Execute make_multihost_mesh + sharded_hamming_topk under a REAL
+    two-process jax.distributed bring-up (CPU backend, 2 virtual devices
+    each): the all_gather stays on the in-process axis, batch replication
+    spans processes, and both processes verify against numpy brute force."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__)),
+         env.get("PYTHONPATH", "")])
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert "MULTIHOST-OK proc=0" in outs[0], outs[0][-2000:]
+    assert "MULTIHOST-OK proc=1" in outs[1], outs[1][-2000:]
