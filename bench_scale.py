@@ -196,6 +196,36 @@ def bench_n2(n=500_000, dups=2_000):
           f"{dt:.2f} s, {groups} needles matched{ref}")
 
 
+def bench_ingest(n_videos=8, frames=400, workers=(1, 2, 4)):
+    """Concurrent video ingest (engine path): decode workers feed the
+    shared device hasher; throughput should scale with workers until the
+    chip or the host cores saturate."""
+    import os
+    import tempfile
+
+    from cbird_tpu.host.video import FseqBackend, process_videos
+    from cbird_tpu.params import IndexParams
+    rng = np.random.default_rng(3)
+    d = tempfile.mkdtemp(prefix="cbird_ingest")
+    paths = []
+    base = rng.integers(0, 255, size=(frames, 96, 120), dtype=np.uint8)
+    for v in range(n_videos):
+        p = os.path.join(d, f"v{v}.fseq")
+        FseqBackend.save(p, np.roll(base, v * 7, axis=0), 25.0)
+        paths.append(p)
+    params = IndexParams()
+    results = list(process_videos(paths, params, workers=1))  # warm/compile
+    assert all(m is not None for _, m in results)
+    for w in workers:
+        t0 = time.perf_counter()
+        res = list(process_videos(paths, params, workers=w))
+        dt = time.perf_counter() - t0
+        ok = sum(1 for _, m in res if m is not None)
+        print(f"ingest: {ok}/{n_videos} videos x {frames} frames, "
+              f"workers={w}: {n_videos * frames / dt:,.0f} frames/s "
+              f"({dt:.2f} s)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["dct", "color", "orb", "fdct", "video"]
     for name in which:

@@ -245,7 +245,10 @@ class Engine:
             matches += self._mirror_query(needle, params)
             seen = set()
             uniq = []
-            for m in sorted(matches, key=lambda m: m.score):
+            # (score, path) sort: equal-score direct/mirror duplicates
+            # dedupe deterministically (reference ordered merge,
+            # src/engine.cpp:429-445), not by arrival order
+            for m in sorted(matches, key=lambda m: (m.score, m.path)):
                 if m.path not in seen:
                     seen.add(m.path)
                     uniq.append(m)

@@ -257,6 +257,13 @@ class SearchParams(Params):
                   "maxThresh", range=(0, INT_MAX)),
         ParamSpec("refl", CAT_QUERY, "Also search reflections of needle", FLAGS, "mirrorMask",
                   _MIRROR_VALUES),
+        # the reference sets SearchParams::path internally from GUI/verb
+        # scoping (src/database.cpp:1209-1247 filterMatch); exposed here as
+        # explicit -p keys so CLI users can scope match results by subtree
+        ParamSpec("path", CAT_POST, "Keep only matches outside this path (inside with -p.inpath)",
+                  STR, "path"),
+        ParamSpec("inpath", CAT_POST, "Invert -p.path: keep only matches inside the path", BOOL,
+                  "inPath"),
         ParamSpec("types", CAT_PRE, "Enabled needle media types", FLAGS, "queryTypes",
                   _TYPE_VALUES),
         ParamSpec("crop", CAT_PRE, "Enable de-letterbox/autocrop pre-filter", BOOL, "autoCrop"),

@@ -79,6 +79,31 @@ def test_similar_to(indexed_corpus, capsys):
     assert groups["img000"][1] in paths
 
 
+def test_p_path_scopes_matches(tmp_path, capsys):
+    """-p.path / -p.inpath scope match results by subtree
+    (Database::filterMatch path filter, src/database.cpp:1209-1247)."""
+    root = str(tmp_path)
+    sub = os.path.join(root, "sub")
+    make_corpus(root, n_base=2, scales=(1.0,))
+    os.makedirs(sub)
+    make_corpus(sub, n_base=2, scales=(0.5,))  # rescaled copies in sub/
+    assert main(["-use", root, "-i.algos", "dct", "-i.fsize", "128",
+                 "-create", "-update"]) == 0
+    assert main(["-use", root, "-p.dht", "8", "-p.inpath", "true",
+                 "-p.path", "sub", "-similar", "-json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data
+    for g in data:
+        for m in g["matches"]:
+            assert "/sub/" in m["path"], m["path"]
+    assert main(["-use", root, "-p.dht", "8",
+                 "-p.path", "sub", "-similar", "-json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    for g in data:
+        for m in g["matches"]:
+            assert "/sub/" not in m["path"], m["path"]
+
+
 def test_param_ordering_matters(indexed_corpus, capsys):
     """-p.dht 0 disables matches when set before -similar."""
     root, groups = indexed_corpus
