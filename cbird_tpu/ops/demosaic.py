@@ -6,9 +6,15 @@ brightnessAndContrastAuto/grayLevel/stretchContrast :578-665, findSolidLines
 images by finding solid separator rows/columns (low intensity variance
 spanning the image), then emitting the sub-rectangles between them.
 
-The reference uses Canny+Hough; solid-line detection is its own fallback and
-is what actually matters for comic/photo contact sheets — implemented here
-as vectorized row/col variance scans.
+Two detectors, tried in order:
+- solid separators (low intensity variance spanning the image) — the
+  common contact-sheet case, vectorized row/col variance scans;
+- edge-projection lines for NON-solid gutters (the reference's
+  Canny+Hough path): collage cell boundaries show as rows/cols where the
+  luminance step is high across most of the span — the axis-aligned
+  specialization of a Hough vote, with every theta=0/90 vote accumulated
+  into one projection (grids are axis-aligned, so the general transform's
+  angle sweep buys nothing).
 """
 
 from __future__ import annotations
@@ -65,10 +71,63 @@ def find_solid_lines(gray: np.ndarray, thresh: float = 10.0,
     return pick(row_std), pick(col_std)
 
 
+def find_edge_lines(gray: np.ndarray, min_coverage: float = 0.75,
+                    min_gap: int = 32) -> tuple[list[int], list[int]]:
+    """Axis-aligned separator lines for textured (non-solid) gutters
+    (reference demosaicHough, src/cvutil.cpp:1445+): rows/cols where the
+    perpendicular luminance step exceeds an adaptive threshold across
+    ≥ min_coverage of the span.  Adjacent collage cells have uncorrelated
+    content, so their shared boundary is an edge along nearly its whole
+    length, while rows inside a photo rarely exceed ~2x the global edge
+    density."""
+    g = gray.astype(np.int16)
+    dy = np.abs(np.diff(g, axis=0))
+    dx = np.abs(np.diff(g, axis=1))
+    ty = max(10.0, float(np.percentile(dy, 90)))
+    tx = max(10.0, float(np.percentile(dx, 90)))
+    row_cov = (dy > ty).mean(axis=1)
+    col_cov = (dx > tx).mean(axis=0)
+
+    def pick(cov: np.ndarray) -> list[int]:
+        out = []
+        i = 0
+        while i < len(cov):
+            if cov[i] >= min_coverage:
+                # take the strongest line of the local cluster
+                j = int(np.argmax(cov[i:i + min_gap])) + i
+                out.append(j + 1)  # diff index i = boundary between i, i+1
+                i += min_gap
+            else:
+                i += 1
+        return out
+
+    return pick(row_cov), pick(col_cov)
+
+
+def demosaic_rects_hough(gray: np.ndarray, min_cell: int = 48,
+                         min_gap: int = 32, min_coverage: float = 0.75
+                         ) -> list[tuple[int, int, int, int]]:
+    """Cell rectangles from edge-projection separator lines (collages
+    whose cells touch directly, no solid gutter)."""
+    h, w = gray.shape
+    rows, cols = find_edge_lines(gray, min_coverage, min_gap)
+
+    def spans(lines: list[int], size: int):
+        edges = [0] + sorted(lines) + [size]
+        return [(a, b) for a, b in zip(edges[:-1], edges[1:])
+                if b - a >= min_cell]
+
+    vs, hs = spans(rows, h), spans(cols, w)
+    if len(vs) * len(hs) <= 1:
+        return []
+    return [(t, b, l, r) for t, b in vs for l, r in hs]
+
+
 def demosaic_rects(gray: np.ndarray, thresh: float = 10.0, min_gap: int = 32,
                    min_cell: int = 48) -> list[tuple[int, int, int, int]]:
     """Split a collage into cell rectangles (t, b, l, r), excluding
-    separator lines; cells smaller than min_cell px are dropped."""
+    separator lines; cells smaller than min_cell px are dropped.  Falls
+    back to edge-projection detection when no solid gutter exists."""
     h, w = gray.shape
     rows, cols = find_solid_lines(gray, thresh, min_gap)
     row_std = gray.std(axis=1)
@@ -99,5 +158,7 @@ def demosaic_rects(gray: np.ndarray, thresh: float = 10.0, min_gap: int = 32,
     vspans = spans(rows, row_std, h)
     hspans = spans(cols, col_std, w)
     if len(vspans) * len(hspans) <= 1:
-        return []  # not a grid
+        # no solid gutters — try the edge-projection (Hough) detector
+        return demosaic_rects_hough(gray, min_cell=min_cell,
+                                    min_gap=min_gap)
     return [(t, b, l, r) for (t, b) in vspans for (l, r) in hspans]

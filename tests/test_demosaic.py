@@ -9,8 +9,8 @@ from PIL import Image
 
 from cbird_tpu.cli.main import main
 from cbird_tpu.ops.demosaic import (brightness_contrast_auto, demosaic_rects,
-                                    find_solid_lines, gray_level,
-                                    stretch_contrast)
+                                    find_edge_lines, find_solid_lines,
+                                    gray_level, stretch_contrast)
 
 from fixtures import synth_image
 
@@ -50,6 +50,39 @@ def test_demosaic_rects(rng):
     assert len(rects) == 6, rects
     for t, b, l, r in rects:
         assert (b - t, r - l) >= (100, 130)  # close to cell size
+
+
+def _gapless_collage(rng, rows=2, cols=3, cell=(120, 150)):
+    """Cells touch directly (no solid gutter) — only the edge-projection
+    (Hough-equivalent) detector can split this."""
+    img = np.zeros((rows * cell[0], cols * cell[1]), np.uint8)
+    for r in range(rows):
+        for c in range(cols):
+            tile = synth_image(rng, *cell).astype(np.int16)
+            # alternate brightness so cell boundaries carry a step edge
+            tile = np.clip(tile // 2 + (140 if (r + c) % 2 else 10), 0, 255)
+            img[r * cell[0]:(r + 1) * cell[0],
+                c * cell[1]:(c + 1) * cell[1]] = tile.astype(np.uint8)
+    return img
+
+
+def test_find_edge_lines_gapless(rng):
+    img = _gapless_collage(rng)
+    rows, cols = find_edge_lines(img)
+    assert 120 in rows or 119 in rows or 121 in rows, rows
+    assert any(abs(c - 150) <= 1 for c in cols), cols
+    assert any(abs(c - 300) <= 1 for c in cols), cols
+
+
+def test_demosaic_rects_gapless_fallback(rng):
+    # no solid separators anywhere -> solid-line path finds nothing and
+    # the edge-projection fallback must recover the 6 cells
+    img = _gapless_collage(rng)
+    assert find_solid_lines(img, thresh=10.0, min_gap=30) == ([], [])
+    rects = demosaic_rects(img)
+    assert len(rects) == 6, rects
+    for t, b, l, r in rects:
+        assert b - t >= 100 and r - l >= 130, (t, b, l, r)
 
 
 def test_demosaic_not_a_grid(rng):
