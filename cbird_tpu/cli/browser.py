@@ -17,10 +17,17 @@ n/p page); image pairs open a zoom/pan-synced A/B compare with an
 absolute-difference overlay (VideoCompareWidget analog for images),
 and `g` fills no-reference quality scores into the item cards.
 
+`-folders` / `-sets` open a two-level navigation like the reference
+MediaBrowser::showFolders/showSets (src/gui/mediabrowser.cpp:119-275): a
+top-level index of folder (or directory-pair) cards, each opening its own
+group list; `-exit-on-select` makes Enter/select return the selected group
+index as the CLI exit code (< 0 if canceled).
+
 Serves on 127.0.0.1 only; `-browse` blocks until Quit is pressed or the
-process is interrupted.  GET endpoints: `/` (app), `/api/groups?page=N`,
-`/thumb/<media id>`, `/diff?a=&b=`; POST: `/api/delete`, `/api/weed`,
-`/api/negative`, `/api/unweed`, `/api/quality`, `/api/quit`.
+process is interrupted.  GET endpoints: `/` (app), `/api/groups?page=N[&set=]`,
+`/api/index`, `/thumb/<media id>`, `/diff?a=&b=`; POST: `/api/delete`,
+`/api/weed`, `/api/negative`, `/api/unweed`, `/api/quality`, `/api/select`,
+`/api/quit`.
 """
 
 from __future__ import annotations
@@ -45,6 +52,8 @@ body { background:#1e1e24; color:#ddd; font-family:sans-serif; margin:1em; }
 .item.weed { outline:2px solid #a44; }
 .item.removed { opacity:.35; }
 .item.sel { outline:2px dashed #dd4; }
+.item.folder { cursor:pointer; }
+.item.folder:hover { background:#3a3a4a; }
 .pane { overflow:hidden; width:44vw; height:68vh; background:#000;
         border:1px solid #555; }
 .pane img { transform-origin:0 0; max-width:none; display:block; }
@@ -65,7 +74,7 @@ h1 { font-size:1.2em; }
 """
 
 _PAGE_JS = """
-let page = 0;
+let page = 0, curSet = null;
 function esc(s) {
   return String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
                   .replace(/>/g,'&gt;').replace(/"/g,'&quot;');
@@ -104,6 +113,12 @@ document.addEventListener('keydown', async (e) => {
   if (e.target.tagName === 'INPUT' || e.ctrlKey || e.metaKey) return;
   const k = e.key, ov = document.getElementById('overlay');
   if (k === 'Escape') { ov.style.display = 'none'; return; }
+  if ((k === 'Backspace' || k === 'u') && MODE !== 'normal') {
+    await showIndex(); e.preventDefault(); return; }
+  if (k === 'Enter') {
+    const s = selected();
+    if (s) await selectGroup(s.g.index);
+    e.preventDefault(); return; }
   if (k === 'n' || k === 'PageDown') { await load(page + 1); selG = 0; selI = 1; highlight(); }
   else if (k === 'p' || k === 'PageUp') { await load(page - 1); selG = 0; selI = 1; highlight(); }
   else if (k === 'j' || k === 'ArrowDown') { selG++; selI = 1; highlight(); }
@@ -190,8 +205,37 @@ async function updateIndex() {
     }
   }, 1000);
 }
+async function selectGroup(i) {
+  if (!EXIT_ON_SELECT) return;
+  await api('/api/select', {index: i});
+  document.body.innerHTML = '<h1>selected group ' + i + '</h1>';
+}
+async function showIndex() {
+  const d = await api('/api/index');
+  curSet = null;
+  document.getElementById('title').textContent =
+    d.title + ' — ' + d.entries.length + ' ' + d.mode;
+  const c = document.getElementById('groups');
+  c.innerHTML = '';
+  const row = document.createElement('div');
+  row.className = 'items';
+  for (const en of d.entries) {
+    const it = document.createElement('div');
+    it.className = 'item folder';
+    it.innerHTML = '<img loading="lazy" src="/thumb/' + en.thumb + '">' +
+      '<div class="meta">' + esc(en.key) + '<br>' + en.groups +
+      ' groups, ' + en.items + ' items</div>';
+    it.onclick = async () => { curSet = en.key; await load(0);
+      selG = 0; selI = 1; highlight(); };
+    row.appendChild(it);
+  }
+  c.appendChild(row);
+  document.getElementById('prev').disabled = true;
+  document.getElementById('next').disabled = true;
+}
 async function load(p) {
-  const d = await api('/api/groups?page=' + p);
+  const d = await api('/api/groups?page=' + p +
+    (curSet !== null ? '&set=' + encodeURIComponent(curSet) : ''));
   lastData = d;
   page = d.page;
   document.getElementById('title').textContent =
@@ -235,16 +279,23 @@ async function load(p) {
   document.getElementById('prev').disabled = page <= 0;
   document.getElementById('next').disabled = page >= d.pages - 1;
 }
-window.onload = async () => { await load(0); highlight(); };
+window.onload = async () => {
+  if (MODE !== 'normal') {
+    document.getElementById('back').style.display = '';
+    await showIndex();
+  } else { await load(0); highlight(); }
+};
 """
 
 
-def _page_html(title: str, token: str = "") -> str:
+def _page_html(title: str, token: str = "", mode: str = "normal",
+               exit_on_select: bool = False) -> str:
     t = html.escape(title)
     return f"""<!doctype html><html><head><meta charset='utf-8'>
 <title>{t}</title><style>{_PAGE_CSS}</style></head><body>
 <h1 id='title'>{t}</h1>
 <nav>
+<button id='back' onclick='showIndex()' style='display:none'>&#8962; index</button>
 <button id='prev' onclick='load(page-1)'>&laquo; prev</button>
 <button id='next' onclick='load(page+1)'>next &raquo;</button>
 <button onclick='quit()' style='float:right'>Quit</button>
@@ -252,49 +303,97 @@ def _page_html(title: str, token: str = "") -> str:
 </nav>
 <div class='keyhelp'>keys: j/k group &middot; h/l item &middot; n/p page &middot;
 d delete &middot; w weed &middot; x not-a-match &middot; c compare &middot;
-g quality &middot; o open &middot; Esc close</div>
+g quality &middot; o open &middot; u index &middot; Esc close</div>
 <div id='overlay' style='display:none'></div>
 <div id='groups'></div>
-<script>const TOKEN={json.dumps(token)};{_PAGE_JS}</script></body></html>"""
+<script>const TOKEN={json.dumps(token)};const MODE={json.dumps(mode)};
+const EXIT_ON_SELECT={json.dumps(exit_on_select)};{_PAGE_JS}</script></body></html>"""
 
 
-def transform_groups(groups: MediaGroupList, mode: str) -> MediaGroupList:
-    """Browser view modes (reference MediaBrowser modes,
-    src/gui/mediabrowser.h:30-34):
+UNPAIRED_KEY = "*unpaired*"
 
-    - "normal": groups as-is
-    - "pairs" (-sets): one group per (needle, match) pair
-    - "folders" (-folders): regroup all items by parent directory
+
+def _greatest_path_prefix(paths: list[str]) -> str:
+    """Longest common prefix of all paths, trimmed back to a '/' boundary
+    (reference Media::greatestPathPrefix)."""
+    if not paths:
+        return ""
+    pre = os.path.commonprefix(paths)
+    cut = pre.rfind("/")
+    return pre[:cut + 1] if cut >= 0 else ""
+
+
+def build_index(groups: MediaGroupList, mode: str
+                ) -> tuple[list[str], dict[str, MediaGroupList]]:
+    """Two-level browser navigation: an index of folder/set cards, each
+    opening its own group list (reference MediaBrowser::showFolders /
+    showSets, src/gui/mediabrowser.cpp:119-275).
+
+    - "folders": groups keyed by the first item's parent directory
+      (videos by file path, like the reference), relative to the greatest
+      common prefix; key carries a total item count suffix.
+    - "sets"/"pairs": groups keyed by the PAIR of directories they match
+      between; groups touching !=2 directories — and sets holding only a
+      single match — land in the ``*unpaired*`` entry.
+
+    @return (ordered keys, key -> groups)
     """
-    if mode == "pairs":
-        out = []
-        for g in groups:
-            if len(g) <= 2:
-                if g:
-                    out.append(list(g))
-                continue
-            out.extend([[g[0], m] for m in g[1:]])
-        return out
+    groups = [list(g) for g in groups if g]
     if mode == "folders":
-        by_dir: dict[str, list] = {}
+        prefix = _greatest_path_prefix([m.path for g in groups for m in g])
+        raw_keys = []
+        counts: dict[str, int] = {}
         for g in groups:
+            first = g[0]
+            key = (first.path if first.type == Media.TypeVideo
+                   else first.dir_path() + "/")
+            key = key[len(prefix):] if key.startswith(prefix) else key
+            key = key.rstrip("/") or "/"
+            raw_keys.append(key)
+            counts[key] = counts.get(key, 0) + len(g)
+        sets: dict[str, MediaGroupList] = {}
+        for key, g in zip(raw_keys, groups):
+            sets.setdefault(f"{key} [x{counts[key]}]", []).append(g)
+        return sorted(sets), sets
+    if mode in ("sets", "pairs"):
+        sets = {UNPAIRED_KEY: []}
+        for g in groups:
+            dirs = []
             for m in g:
-                by_dir.setdefault(m.dir_path(), []).append(m)
-        return [by_dir[d] for d in sorted(by_dir)]
-    return groups
+                d = m.dir_path()
+                if d not in dirs:
+                    dirs.append(d)
+            if len(dirs) != 2:
+                sets[UNPAIRED_KEY].append(g)
+                continue
+            a, b = dirs
+            i = len(os.path.commonprefix([a, b]))
+            while i > 0 and (i > len(a) or a[i - 1] != "/"):
+                i -= 1
+            sets.setdefault(f"{a[i:]}/ ↔ {b[i:]}/", []).append(g)
+        for key in [k for k, v in sets.items()
+                    if k != UNPAIRED_KEY and len(v) == 1]:
+            sets[UNPAIRED_KEY].extend(sets.pop(key))
+        if not sets[UNPAIRED_KEY]:
+            del sets[UNPAIRED_KEY]
+        return sorted(sets), sets
+    return [], {}
 
 
 class BrowserState:
     """Mutable view of the result list shared between requests."""
 
     def __init__(self, db, groups: MediaGroupList, title: str,
-                 max_per_page: int = 12, engine=None):
+                 max_per_page: int = 12, engine=None, mode: str = "normal"):
         self.db = db
         self.engine = engine
         self.update_thread: threading.Thread | None = None
         self.update_result: dict | None = None
         self.groups = [list(g) for g in groups if g]
         self.title = title
+        self.mode = mode if mode in ("folders", "sets", "pairs") else "normal"
+        self.index_keys, self.sets = build_index(self.groups, self.mode)
+        self.selection: int | None = None  # -exit-on-select result
         self.max_per_page = max(1, max_per_page)
         self.removed: set[int] = set()
         self.lock = threading.Lock()
@@ -308,15 +407,35 @@ class BrowserState:
     def media(self, mid: int) -> Media | None:
         return self._media.get(mid)
 
-    def pages(self) -> int:
-        return max(1, (len(self.groups) + self.max_per_page - 1)
+    def _view_groups(self, set_key: str | None) -> MediaGroupList:
+        if set_key is not None and set_key in self.sets:
+            return self.sets[set_key]
+        return self.groups
+
+    def pages(self, set_key: str | None = None) -> int:
+        return max(1, (len(self._view_groups(set_key)) + self.max_per_page - 1)
                    // self.max_per_page)
 
-    def page_payload(self, page: int) -> dict:
-        page = max(0, min(page, self.pages() - 1))
+    def index_payload(self) -> dict:
+        """Top-level folder/set cards (the reference's showIndex view)."""
+        entries = []
+        for key in self.index_keys:
+            glist = self.sets[key]
+            entries.append({
+                "key": key,
+                "groups": len(glist),
+                "items": sum(len(g) for g in glist),
+                "thumb": glist[0][0].id if glist and glist[0] else 0,
+            })
+        return {"title": self.title, "mode": self.mode, "entries": entries}
+
+    def page_payload(self, page: int, set_key: str | None = None) -> dict:
+        view = self._view_groups(set_key)
+        pages = self.pages(set_key)
+        page = max(0, min(page, pages - 1))
         lo = page * self.max_per_page
         out = []
-        for n, g in enumerate(self.groups[lo:lo + self.max_per_page], start=lo):
+        for n, g in enumerate(view[lo:lo + self.max_per_page], start=lo):
             items = []
             for m in g:
                 rng = ""
@@ -336,8 +455,10 @@ class BrowserState:
                     "quality": self._quality.get(m.id),
                 })
             out.append({"index": n, "items": items})
-        return {"title": self.title, "page": page, "pages": self.pages(),
-                "total_groups": len(self.groups), "groups": out}
+        return {"title": (f"{self.title} — {set_key}" if set_key else
+                          self.title),
+                "page": page, "pages": pages,
+                "total_groups": len(view), "groups": out}
 
     def _decode(self, path: str):
         from ..host.scanner import Scanner
@@ -495,6 +616,12 @@ class BrowserState:
             return {"state": "running"}
         return {"state": "done", "result": self.update_result}
 
+    def select(self, index: int) -> None:
+        """Record the selected group index for -exit-on-select (reference
+        MediaWidgetOptions::FlagExitOnSelect: 'select' exits with the
+        selected index as exit code, < 0 if canceled)."""
+        self.selection = int(index)
+
     def negative(self, mid: int, other_id: int) -> str | None:
         a, b = self.media(mid), self.media(other_id)
         if a is None or b is None:
@@ -508,6 +635,7 @@ class _Handler(BaseHTTPRequestHandler):
     state: BrowserState = None  # set by serve_browser
     thumbs: dict[int, bytes] = {}
     token: str = ""  # per-session CSRF token (set by serve_browser)
+    exit_on_select: bool = False
 
     def log_message(self, fmt, *args):  # quiet; cbird logging instead
         pass
@@ -525,12 +653,17 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (http.server API)
         url = urlparse(self.path)
         if url.path == "/":
-            self._send(200, _page_html(self.state.title, self.token).encode(),
+            self._send(200, _page_html(self.state.title, self.token,
+                                       self.state.mode,
+                                       self.exit_on_select).encode(),
                        "text/html")
         elif url.path == "/api/groups":
             q = parse_qs(url.query)
             page = int(q.get("page", ["0"])[0])
-            self._json(self.state.page_payload(page))
+            set_key = q.get("set", [None])[0]
+            self._json(self.state.page_payload(page, set_key))
+        elif url.path == "/api/index":
+            self._json(self.state.index_payload())
         elif url.path == "/api/update_status":
             self._json(self.state.update_status())
         elif url.path == "/api/compare":
@@ -652,6 +785,11 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(out)
         elif url.path == "/api/update":
             err = s.start_update()
+        elif url.path == "/api/select":
+            s.select(int(body.get("index") or 0))
+            self._json({"ok": True, "selected": s.selection})
+            threading.Thread(target=self.server.shutdown, daemon=True).start()
+            return
         elif url.path == "/api/update_status":
             return self._json(s.update_status())
         elif url.path == "/api/quit":
@@ -666,17 +804,22 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve_browser(db, groups: MediaGroupList, title: str = "cbird results",
                   host: str = "127.0.0.1", port: int = 0,
-                  max_per_page: int = 12, block: bool = True, engine=None):
+                  max_per_page: int = 12, block: bool = True, engine=None,
+                  mode: str = "normal", exit_on_select: bool = False):
     """Start the browser server.  With block=True (CLI -browse) runs until
-    Quit; otherwise returns (server, thread, url) for embedding/tests."""
+    Quit and returns the selected group index (None if not selected);
+    otherwise returns (server, thread, url) for embedding/tests."""
     if not groups:
         warn("browse: empty result, nothing to show")
         return None
     import secrets
+    state = BrowserState(db, groups, title, max_per_page, engine=engine,
+                         mode=mode)
     handler = type("BoundHandler", (_Handler,), {
-        "state": BrowserState(db, groups, title, max_per_page, engine=engine),
+        "state": state,
         "thumbs": {},
         "token": secrets.token_hex(16),
+        "exit_on_select": exit_on_select,
     })
     server = ThreadingHTTPServer((host, port), handler)
     url = f"http://{host}:{server.server_address[1]}/"
@@ -689,7 +832,7 @@ def serve_browser(db, groups: MediaGroupList, title: str = "cbird results",
             pass
         finally:
             server.server_close()
-        return None
+        return state.selection
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread, url

@@ -144,7 +144,9 @@ class Cli:
         self.result: list[list[Media]] = []
         self._engine = None
         self._max_per_page = 12  # reference default (src/main.cpp:1671-1719)
-        self._show_mode = "normal"  # -sets → pairs, -folders → folders
+        self._show_mode = "normal"  # -sets → sets, -folders → folders
+        self._exit_on_select = False  # -exit-on-select: rc = selected index
+        self._rc = 0  # run() exit code override (browse select)
         self._sort_chain: list[tuple[str, bool]] = []  # multisort keys
 
     # lazy engine (reference lazy global Engine&, src/main.cpp:540-559)
@@ -170,7 +172,7 @@ class Cli:
         except (FileNotFoundError, KeyError) as e:
             error(str(e))
             return 2
-        return 0
+        return self._rc
 
     def _inject_saved_args(self, args: list[str]) -> list[str]:
         out: list[str] = []
@@ -643,13 +645,17 @@ complete -F _cbird_complete cbird""")
             serve_cli(self.engine(), host or "127.0.0.1", int(port or 0))
             return i + 1
         if a == "-browse":
-            from .browser import serve_browser, transform_groups
-            serve_browser(self.engine().db,
-                          transform_groups(self.result, self._show_mode),
-                          title=f"cbird {self.index_dir}",
-                          port=int(os.environ.get("CBIRD_BROWSER_PORT", "0")),
-                          max_per_page=self._max_per_page,
-                          engine=self.engine())
+            from .browser import serve_browser
+            sel = serve_browser(
+                self.engine().db, self.result,
+                title=f"cbird {self.index_dir}",
+                port=int(os.environ.get("CBIRD_BROWSER_PORT", "0")),
+                max_per_page=self._max_per_page,
+                engine=self.engine(), mode=self._show_mode,
+                exit_on_select=self._exit_on_select)
+            if self._exit_on_select:
+                # reference: select exits with the index, < 0 if canceled
+                self._rc = -1 if sel is None else int(sel)
             return i + 1
         if a in ("-test-csv", "-simtest"):  # -simtest: legacy usage.txt name
             from .testcsv import run_test_csv
@@ -749,9 +755,12 @@ complete -F _cbird_complete cbird""")
         if a in ("-sets", "-folders"):
             # browser view modes (reference MediaBrowser::ShowPairs /
             # ShowFolders, src/gui/mediabrowser.h:30-34)
-            self._show_mode = "pairs" if a == "-sets" else "folders"
+            self._show_mode = "sets" if a == "-sets" else "folders"
             return i + 1
-        _GUI_NOARG = {"-exit-on-select", "-headless",
+        if a == "-exit-on-select":
+            self._exit_on_select = True
+            return i + 1
+        _GUI_NOARG = {"-headless",
                       "-no-delete", "-first-sibling", "-focus-first",
                       "-show-results"}
         _GUI_ONEARG = {"-theme"}

@@ -177,18 +177,108 @@ def test_browser_csrf_token_required(browser):
     assert status == 403
 
 
-def test_transform_groups():
-    from cbird_tpu.cli.browser import transform_groups
+def test_build_index_folders():
+    """Folders mode: groups keyed by first item's parent dir with item
+    counts (reference MediaBrowser::showFolders)."""
+    from cbird_tpu.cli.browser import build_index
     from cbird_tpu.store.media import Media
-    a, b, c = (Media(f"/d1/{n}.png", Media.TypeImage) for n in "abc")
-    d = Media("/d2/d.png", Media.TypeImage)
-    groups = [[a, b, c], [d]]
-    pairs = transform_groups(groups, "pairs")
-    assert [[m.path for m in g] for g in pairs] == \
-        [[a.path, b.path], [a.path, c.path], [d.path]]
-    folders = transform_groups(groups, "folders")
-    assert [len(g) for g in folders] == [3, 1]
-    assert transform_groups(groups, "normal") == groups
+    a, b, c = (Media(f"/pre/d1/{n}.png", Media.TypeImage) for n in "abc")
+    d, e = (Media(f"/pre/d2/{n}.png", Media.TypeImage) for n in "de")
+    v = Media("/pre/d2/clip.mp4", Media.TypeVideo)
+    keys, sets = build_index([[a, b], [a, c], [d, e], [v, d]], "folders")
+    assert keys == sorted(keys) and set(keys) == set(sets)
+    assert "d1 [x4]" in sets and len(sets["d1 [x4]"]) == 2
+    assert "d2 [x2]" in sets  # image group under d2
+    # a video group is keyed by file path, not directory
+    assert any("clip.mp4" in k for k in keys)
+
+
+def test_build_index_sets():
+    """Sets mode: groups keyed by the pair of directories; non-pairs and
+    singleton sets land in *unpaired* (reference MediaBrowser::showSets)."""
+    from cbird_tpu.cli.browser import UNPAIRED_KEY, build_index
+    from cbird_tpu.store.media import Media
+
+    def m(p):
+        return Media(p, Media.TypeImage)
+    # two groups matching between the same two dirs -> one set
+    g1 = [m("/pre/old/a.png"), m("/pre/new/a.png")]
+    g2 = [m("/pre/old/b.png"), m("/pre/new/b.png")]
+    g3 = [m("/pre/old/c.png")]                      # single dir -> unpaired
+    g4 = [m("/pre/x/d.png"), m("/pre/y/d.png")]     # singleton set -> unpaired
+    keys, sets = build_index([g1, g2, g3, g4], "sets")
+    pair_key = [k for k in keys if k != UNPAIRED_KEY]
+    assert pair_key == ["old/ ↔ new/"]
+    assert len(sets[pair_key[0]]) == 2
+    assert len(sets[UNPAIRED_KEY]) == 2  # g3 + demoted g4
+    # no unpaired entry when everything pairs
+    keys2, sets2 = build_index([g1, g2], "sets")
+    assert UNPAIRED_KEY not in sets2
+
+
+def test_browser_index_view_and_select(browser):
+    """/api/index serves folder cards; /api/groups?set= scopes paging;
+    /api/select records the selection for -exit-on-select."""
+    eng, groups, url0 = browser
+    from cbird_tpu.cli.browser import serve_browser
+    out = serve_browser(eng.db, groups, block=False, mode="folders",
+                        exit_on_select=True)
+    server, thread, url = out
+    try:
+        status, body = _get(url + "api/index")
+        data = json.loads(body)
+        assert status == 200 and data["mode"] == "folders"
+        assert data["entries"], data
+        en = data["entries"][0]
+        assert en["groups"] >= 1 and en["thumb"] > 0
+        from urllib.parse import quote
+        status, body = _get(url + "api/groups?page=0&set=" + quote(en["key"]))
+        sub = json.loads(body)
+        assert status == 200 and sub["total_groups"] == en["groups"]
+        assert en["key"] in sub["title"]
+        # page embeds the mode + select flag
+        status, page = _get(url)
+        assert b'MODE="folders"' in page and b"EXIT_ON_SELECT=true" in page
+        # select shuts the server down and records the index
+        status, resp = _post(url + "api/select", {"index": 3})
+        assert status == 200 and resp["selected"] == 3
+        assert server.__class__  # still referenced; shutdown is async
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+
+
+def test_exit_on_select_cli_rc(tmp_path, monkeypatch):
+    """-exit-on-select makes -browse return the selected index as the CLI
+    exit code (reference usage.txt:119)."""
+    import threading as _threading
+    import time
+    root = str(tmp_path / "sel")
+    os.makedirs(root)
+    rng = np.random.default_rng(5)
+    Image.fromarray(synth_image(rng, 120, 160)).save(os.path.join(root, "a.png"))
+    assert main(["-use", root, "-i.algos", "dct", "-i.fsize", "16",
+                 "-create", "-update"]) == 0
+    monkeypatch.setenv("CBIRD_BROWSER_PORT", "18741")
+    rc = {}
+
+    def run():
+        rc["v"] = main(["-use", root, "-select-all", "-group-by", "res",
+                        "-exit-on-select", "-browse"])
+
+    t = _threading.Thread(target=run, daemon=True)
+    t.start()
+    url = "http://127.0.0.1:18741/"
+    for _ in range(100):
+        try:
+            _get(url)
+            break
+        except OSError:
+            time.sleep(0.1)
+    status, resp = _post(url + "api/select", {"index": 2})
+    assert status == 200
+    t.join(timeout=10)
+    assert rc.get("v") == 2
 
 
 def test_browser_update(tmp_path, monkeypatch):
