@@ -99,10 +99,19 @@ class DctVideoIndex(Index):
         if img_idx:
             hashes = np.array([np.uint64(needles[i].dctHash) for i in img_idx],
                               dtype=np.uint64)
-            dists, frames = self._store.search(hashes)
-            for row, i in enumerate(img_idx):
-                out[i] = self._frame_matches(needles[i], dists[row], frames[row],
-                                             params)
+            # two-phase like ops/hamming.search: a flat sub-threshold count
+            # per needle first (tiled count kernel, ~50x the per-video-min
+            # kernel's rate), then the [Q, V] segment-min only for needles
+            # that hit anything — in a typical -similar most image needles
+            # match no video frame at all
+            counts = self._store.flat_hit_counts(hashes, params.dctThresh)
+            hot = np.nonzero(counts > 0)[0]
+            if len(hot):
+                dists, frames = self._store.search(hashes[hot])
+                for row, h in enumerate(hot):
+                    i = img_idx[h]
+                    out[i] = self._frame_matches(needles[i], dists[row],
+                                                 frames[row], params)
         vid_idx = [i for i, n in enumerate(needles) if n.type == TYPE_VIDEO]
         frame_counts = None
         live: list[int] = []
@@ -172,8 +181,10 @@ class DctVideoIndex(Index):
     def _find_frame(self, needle: Media, params: SearchParams) -> list[Match]:
         if not needle.dctHash:
             return []
-        dists, frames = self._store.search(
-            np.array([np.uint64(needle.dctHash)], dtype=np.uint64))
+        h = np.array([np.uint64(needle.dctHash)], dtype=np.uint64)
+        if int(self._store.flat_hit_counts(h, params.dctThresh)[0]) == 0:
+            return []  # no sub-threshold frame anywhere — skip the [Q,V] scan
+        dists, frames = self._store.search(h)
         return self._frame_matches(needle, dists[0], frames[0], params)
 
     def _needle_video_index(self, needle: Media) -> VideoIndexData | None:
