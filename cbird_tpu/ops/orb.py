@@ -47,7 +47,7 @@ SCALE = 1.2
 PATCH = 31
 EDGE = 31  # border margin (OpenCV edgeThreshold)
 FAST_T = 20
-CANVAS = 400  # images are prescaled to <=400px before feature detection
+CANVAS = 400  # longest side normalized to exactly 400px before detection
 
 # FAST circle of 16 offsets (radius 3) in clockwise order
 _FAST_CIRCLE = [(0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2),
@@ -375,15 +375,20 @@ def keypoint_hashes(gray: np.ndarray, xs: np.ndarray, ys: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _prescale(gray: np.ndarray) -> np.ndarray:
-    """Longest side ≤ 400 (reference sizeLongestSide before detection)."""
+    """Normalize longest side to exactly 400 — up OR down — before
+    detection (reference scanner.cpp:876 sizeLongestSide, which resizes
+    unconditionally; cvutil.h:251 default LANCZOS).  This is what makes
+    keypoint-ROI hashes comparable across rescaled copies of an image:
+    without the upscale leg, a 0.75-scale variant is featurized at a
+    different effective scale and its ROI hashes never align."""
     long_side = max(gray.shape)
-    if long_side <= CANVAS:
+    if long_side == CANVAS:
         return gray
     from PIL import Image
     s = CANVAS / long_side
     im = Image.fromarray(gray).resize(
         (max(1, round(gray.shape[1] * s)), max(1, round(gray.shape[0] * s))),
-        Image.BOX)
+        Image.LANCZOS)
     return np.asarray(im)
 
 

@@ -124,13 +124,16 @@ def make_photo_corpus(root: str, n_base: int = 40, seed: int = 7,
 # Which variants each algo is EXPECTED to recover (drives recall truth):
 # dct: scale/recompression robust; crop only via -p.crop/letterbox logic;
 #      not rotation- or mirror-invariant (mirror needs -p.refl).
-# fdct (dct features): crop + small rotation by design (corner-anchored
-#      hashes), scales.
+# fdct (dct features): scales + recompression — the reference's own fdct
+#      harness is exactly the 40x5-sizes set (unit/testdctfeaturesindex.cpp:11
+#      "40x5-sizes"); keypoint-ROI hashes are NOT robust to the crop/rot
+#      normalize-ratio shift (sizeLongestSide rescales crop content 1.11x
+#      relative to orig), in the reference as here.
 # orb: crop + rotation (oriented BRIEF), scales.
 # color: histogram is layout-invariant: everything except hue-changing ops.
 EXPECTED_VARIANTS = {
     "dct": ("s075", "s050", "s033", "s025", "q50", "letterbox"),
-    "fdct": ("s075", "s050", "q50", "crop", "rot5"),
+    "fdct": ("s075", "s050", "s033", "q50"),
     "orb": ("s075", "s050", "q50", "crop", "rot5"),
     "color": ("s075", "s050", "s033", "s025", "q50", "crop", "mirror"),
 }

@@ -35,10 +35,12 @@ def test_accuracy_dct_color(tmp_path):
 @pytest.mark.features  # ORB kernel compile tier
 def test_accuracy_features(tmp_path):
     res = _run(tmp_path / "acc", 6, ("fdct", "orb"))
-    assert res["fdct"]["recall"] >= 0.80, res["fdct"]
-    assert res["orb"]["recall"] >= 0.80, res["orb"]
-    assert res["fdct"]["precision"] >= 0.80, res["fdct"]
-    assert res["orb"]["precision"] >= 0.80, res["orb"]
+    assert res["fdct"]["recall"] >= 0.90, res["fdct"]
+    assert res["orb"]["recall"] >= 0.90, res["orb"]
+    assert res["fdct"]["precision"] >= 0.90, res["fdct"]
+    # orb fills maxMatches=10 slots from only 9 true siblings, so one weak
+    # cross-base vote per needle caps micro-precision near 0.8
+    assert res["orb"]["precision"] >= 0.75, res["orb"]
 
 
 def test_dct_recompression_stability(tmp_path):

@@ -46,8 +46,11 @@ def test_extract_shapes_and_determinism(trng):
 
 
 def test_crop_robustness_descriptors(trng):
-    """A 56% crop must share many descriptors/keypoint hashes — the whole
-    point of the feature algorithms (scale,big-crop)."""
+    """A 56% crop must share many descriptors — the point of the cv
+    features algo.  Keypoint-ROI hashes are weaker under crops: the
+    unconditional longest-side-400 normalize (reference scanner.cpp:876)
+    rescales crop content 1.33x relative to the original, so only ROIs
+    whose pyramid octave absorbs the shift still align."""
     img = textured(trng, 320, 400)
     crop = np.ascontiguousarray(img[40:280, 60:360])
     (da, ha), (db, hb) = extract_features_batch([img, crop], nfeatures=400)
@@ -59,6 +62,21 @@ def test_crop_robustness_descriptors(trng):
     assert matched > len(db) * 0.3, f"only {matched}/{len(db)} crop descs matched"
 
     from cbird_tpu.ops.ref_numpy import hamming64
+    close = sum(1 for x in hb if any(hamming64(int(x), int(y)) < 6 for y in ha))
+    assert close > len(hb) * 0.15, f"only {close}/{len(hb)} kp hashes matched"
+
+
+def test_scale_robustness_kp_hashes(trng):
+    """Keypoint-ROI hashes MUST survive rescale — the reference's fdct
+    guarantee (its harness is exactly the 40x5-sizes set,
+    unit/testdctfeaturesindex.cpp:11): the longest-side-400 normalize puts
+    every scale of an image on one canvas before detection."""
+    from PIL import Image as PImage
+    from cbird_tpu.ops.ref_numpy import hamming64
+    img = textured(trng, 320, 400)
+    s75 = np.asarray(PImage.fromarray(img).resize((300, 240), PImage.LANCZOS))
+    (da, ha), (db, hb) = extract_features_batch([img, s75], nfeatures=400)
+    assert len(hb) > 10
     close = sum(1 for x in hb if any(hamming64(int(x), int(y)) < 6 for y in ha))
     assert close > len(hb) * 0.4, f"only {close}/{len(hb)} kp hashes matched"
 
