@@ -26,8 +26,8 @@ index as the CLI exit code (< 0 if canceled).
 Serves on 127.0.0.1 only; `-browse` blocks until Quit is pressed or the
 process is interrupted.  GET endpoints: `/` (app), `/api/groups?page=N[&set=]`,
 `/api/index`, `/thumb/<media id>`, `/diff?a=&b=`; POST: `/api/delete`,
-`/api/weed`, `/api/negative`, `/api/unweed`, `/api/quality`, `/api/select`,
-`/api/quit`.
+`/api/replace`, `/api/weed`, `/api/negative`, `/api/unweed`,
+`/api/quality`, `/api/select`, `/api/quit`.
 """
 
 from __future__ import annotations
@@ -128,6 +128,7 @@ document.addEventListener('keydown', async (e) => {
   else {
     const s = selected(); if (!s || !s.m) return;
     if (k === 'd' || k === 'Delete') await act('delete', s.m.id);
+    else if (k === 'f') await act('replace', s.m.id);
     else if (k === 'w' && selI > 0) await act('weed', s.m.id, s.needle.id);
     else if (k === 'x' && selI > 0) await act('negative', s.m.id, s.needle.id);
     else if (k === 'o') await act('open', s.m.id);
@@ -262,6 +263,9 @@ async function load(p) {
         (m.range ? ' ' + m.range : '') + (m.weed ? ' WEED' : '') + '</div>' +
         (m.removed ? '<i>removed</i>' :
          '<button onclick="act(\\'delete\\',' + m.id + ')">delete</button>' +
+         (g.items.length == 2 ?
+          '<button title="delete, then rename+move the kept file here"' +
+          ' onclick="act(\\'replace\\',' + m.id + ')">replace</button>' : '') +
          (j>0 ? '<button onclick="act(\\'weed\\',' + m.id + ',' + needleId + ')">weed</button>' +
                 '<button onclick="act(\\'negative\\',' + m.id + ',' + needleId + ')">not a match</button>' +
                 (m.video && g.items[0].video ?
@@ -302,8 +306,9 @@ def _page_html(title: str, token: str = "", mode: str = "normal",
 <button id='upd' onclick='updateIndex()' style='float:right'>Update index</button>
 </nav>
 <div class='keyhelp'>keys: j/k group &middot; h/l item &middot; n/p page &middot;
-d delete &middot; w weed &middot; x not-a-match &middot; c compare &middot;
-g quality &middot; o open &middot; u index &middot; Esc close</div>
+d delete &middot; f replace &middot; w weed &middot; x not-a-match &middot;
+c compare &middot; g quality &middot; o open &middot; u index &middot;
+Esc close</div>
 <div id='overlay' style='display:none'></div>
 <div id='groups'></div>
 <script>const TOKEN={json.dumps(token)};const MODE={json.dumps(mode)};
@@ -520,6 +525,40 @@ class BrowserState:
                 return f"could not trash {m.path}"
             self.db.remove([mid])
             self.removed.add(mid)
+        return None
+
+    def replace(self, mid: int) -> str | None:
+        """Delete the selected file and move the kept pair member into its
+        place — trash + rename to the deleted file's base name (keeping the
+        survivor's suffix) + move to its directory (reference
+        MediaGroupListWidget::replaceAction → MediaPage::replaceFile,
+        src/gui/mediapage.cpp:94-108; pairs only)."""
+        m = self.media(mid)
+        if m is None:
+            return "unknown media id"
+        group = next((g for g in self.groups if any(x.id == mid for x in g)),
+                     None)
+        live = [x for x in (group or []) if x.id not in self.removed]
+        if group is None or len(live) != 2:
+            return "replace needs a pair (exactly 2 remaining items)"
+        other = next(x for x in live if x.id != mid)
+        if m.is_archived() or other.is_archived():
+            return "delete+replace for archives unsupported"
+        old_dir = os.path.dirname(m.path)
+        base = os.path.splitext(os.path.basename(m.path))[0]
+        suffix = os.path.splitext(other.path)[1]
+        err = self.delete(mid)
+        if err:
+            return err
+        new_name = base + suffix
+        with self.lock:
+            if os.path.basename(other.path) != new_name and \
+                    not self.db.rename(other, os.path.join(
+                        os.path.dirname(other.path), new_name)):
+                return f"cannot rename {other.path} to {new_name}"
+            if os.path.dirname(other.path) != old_dir and \
+                    not self.db.move(other, old_dir):
+                return f"cannot move {other.path} to {old_dir}"
         return None
 
     def open(self, mid: int) -> str | None:
@@ -768,6 +807,8 @@ class _Handler(BaseHTTPRequestHandler):
         s = self.state
         if url.path == "/api/delete":
             err = s.delete(mid)
+        elif url.path == "/api/replace":
+            err = s.replace(mid)
         elif url.path == "/api/weed":
             err = s.weed(mid, other)
         elif url.path == "/api/unweed":

@@ -136,6 +136,36 @@ def test_browser_actions(browser, tmp_path):
     assert status == 400
 
 
+def test_browser_replace(browser, tmp_path):
+    """Replace (reference MediaPage::replaceFile): trash the selected pair
+    member, then rename+move the kept file into its place."""
+    eng, groups, url = browser
+    pair = next(g for g in groups if len(g) == 2)
+    kept, victim = pair[0], pair[1]
+    kept_path, victim_path = kept.path, victim.path
+    with open(kept_path, "rb") as f:
+        kept_bytes = f.read()
+    status, resp = _post(url + "api/replace", {"id": victim.id})
+    assert status == 200 and resp.get("ok"), resp
+    # victim is in the trash; the kept file took its name (same dir+suffix
+    # here, so the path is reused with the survivor's content)
+    assert os.path.exists(os.path.join(str(tmp_path / "trash"),
+                                       os.path.basename(victim_path)))
+    base = os.path.splitext(os.path.basename(victim_path))[0]
+    suffix = os.path.splitext(kept_path)[1]
+    new_path = os.path.join(os.path.dirname(victim_path), base + suffix)
+    assert os.path.exists(new_path), new_path
+    with open(new_path, "rb") as f:
+        assert f.read() == kept_bytes  # survivor's content at victim's name
+    assert not os.path.exists(kept_path)
+    m = eng.db.media_with_id(kept.id)
+    assert m.path == new_path
+    assert not eng.db.media_with_id(victim.id).is_valid()
+    # replace needs a pair: group now has 1 remaining item
+    status, resp = _post(url + "api/replace", {"id": kept.id})
+    assert status == 400 and "pair" in resp["error"]
+
+
 def test_browser_serves_original(browser):
     eng, groups, url = browser
     _, data = _get(url + "api/groups?page=0")
