@@ -113,13 +113,23 @@ def bench_video(n_videos=20_000, frames_per_video=500, needles=10):
         store.add_video(v + 1, np.arange(nf, dtype=np.int32) * 10,
                         rng.integers(1, 2**63, size=nf, dtype=np.uint64))
     q = rng.integers(1, 2**63, size=needles, dtype=np.uint64)
+    # plant a couple of near-dup needles so the sparse path extracts hits
+    q[0] = store._pending[17][0][3] ^ np.uint64(3) if store._pending else q[0]
     store.search(q)  # compile (same shapes as the timed call)
     t0 = time.perf_counter()
     d, f = store.search(q)
     dt = time.perf_counter() - t0
     print(f"video: {needles} image needles vs {n_videos / 1e3:.0f}k videos / "
           f"{n_videos * frames_per_video / 1e6:.0f}M frames in "
-          f"{dt * 1000:.0f} ms (per-video segment-min on device)")
+          f"{dt * 1000:.0f} ms (dense [Q,V] segment-min kernel)")
+    store.search_hits(q, 6)  # compile
+    t0 = time.perf_counter()
+    hits = store.search_hits(q, 6)
+    dt = time.perf_counter() - t0
+    n_hit = sum(len(h[0]) for h in hits if h is not None)
+    print(f"video-sparse: same query via count+top-k hit extraction in "
+          f"{dt * 1000:.0f} ms ({n_hit} frame hits extracted; the "
+          f"production find path)")
 
 
 def bench_vn2(n_videos=2_000, frames_per_video=500):

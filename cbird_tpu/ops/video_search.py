@@ -91,6 +91,7 @@ class PackedVideoStore:
         self._pending: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._dev = None
         self._by_slot = None  # slot → stored hashes (built lazily)
+        self._hash_store = None  # frame rows as a PackedHashStore (lazily)
 
     def _consolidate(self) -> None:
         if self._pending:
@@ -123,6 +124,7 @@ class PackedVideoStore:
                               np.asarray(frames, np.int32)))
         self._dev = None
         self._by_slot = None
+        self._hash_store = None
 
     def video_hashes(self, media_id: int) -> np.ndarray | None:
         """Stored frame hashes (u64) for one media id, or None if absent —
@@ -155,6 +157,7 @@ class PackedVideoStore:
                 changed = True
         if changed:
             self._dev = None
+            self._hash_store = None
 
     def _device(self):
         if self._dev is None:
@@ -234,6 +237,99 @@ class PackedVideoStore:
             parts.append((qn, acc))
         return np.concatenate([np.asarray(a)[:qn]
                                for qn, a in parts])[:n].astype(np.int32)
+
+    def row_maps(self):
+        """(vidx [F] int32, frames [F] int32) host arrays aligned with the
+        row indices search_hits returns."""
+        self._consolidate()
+        return self._vidx, self._frames
+
+    def as_hash_store(self):
+        """The frame rows as a PackedHashStore with ids = row+1 (0 for
+        rows of removed videos): lets the triangular N² self-search
+        machinery (ops/hamming.search_self — symmetric count phase, exact
+        completeness invariants, mirror completion) run over frames; the
+        ids map back to rows as id-1.  Cached until the store changes."""
+        if self._hash_store is None:
+            from .hamming import PackedHashStore
+            self._consolidate()
+            n = len(self._hashes)
+            ids = np.arange(1, n + 1, dtype=np.uint32)
+            if n:
+                alive = np.array([bool(m) for m in self._media_ids], bool)
+                ids[~alive[self._vidx]] = 0
+            self._hash_store = PackedHashStore(self._hashes, ids)
+        return self._hash_store
+
+    def search_hits(self, needle_hashes: np.ndarray, threshold: int,
+                    k_cap: int = 4096, needle_batch: int = 1024,
+                    counts: np.ndarray | None = None):
+        """Every sub-threshold (needle, frame-row) pair, extracted at the
+        flat-scan rate: exact per-needle counts (tiled count kernel), then
+        approx_min_k top-k only for needles that hit, with the count as the
+        exact completeness check — needles whose extracted hit count falls
+        short (approx recall miss) or whose count exceeds k_cap return
+        None so the caller can fall back to the exact [Q, V] segment-min
+        kernel.  ~50x the [Q, V] kernel's pair rate on misses and typical
+        hit loads (docs/TODO.md).
+
+        @param counts optional precomputed flat_hit_counts(needle_hashes,
+               threshold) — callers that already gated on it pass it here
+               so the store is scanned once, not twice
+        @return list per needle of (row_idx [m] int32, dist [m] int32),
+                m = exact sub-threshold count, or None (fallback needed)"""
+        from .hamming import _search_mesh, hamming_topk
+        from .dct_hash import split_u64
+        n = len(needle_hashes)
+        if n == 0 or self.frame_count() == 0:
+            return [(np.zeros(0, np.int32), np.zeros(0, np.int32))] * n
+        if counts is None:
+            counts = self.flat_hit_counts(needle_hashes, threshold,
+                                          needle_batch=max(needle_batch,
+                                                           16384))
+        empty = (np.zeros(0, np.int32), np.zeros(0, np.int32))
+        results: list = [empty] * n
+        hot = np.nonzero(counts > 0)[0]
+        if len(hot) == 0:
+            return results
+        pairs, vidx, frames, valid, vb = self._device()
+        needles = split_u64(np.asarray(needle_hashes, np.uint64))
+        mesh = _search_mesh()
+        pending = []
+        for s in range(0, len(hot), needle_batch):
+            sel = hot[s:s + needle_batch]
+            nb = needles[sel]
+            rows = nb.shape[0]
+            qb = needle_batch if len(hot) > needle_batch else \
+                max(64, 1 << max(rows - 1, 1).bit_length())
+            if rows < qb:
+                nb = np.pad(nb, ((0, qb - rows), (0, 0)))
+            # k sized per batch (power-of-two ≤ k_cap: ≤7 compile variants)
+            # so one hot needle elsewhere doesn't inflate every readback
+            k = int(min(k_cap, max(64, 1 << int(counts[sel].max() - 1)
+                                   .bit_length())))
+            k = min(k, pairs.shape[0])
+            if mesh is not None:
+                from ..parallel.sharded import sharded_hamming_topk
+                pending.append((sel, sharded_hamming_topk(
+                    mesh, jnp.asarray(nb), pairs, valid, k=k)))
+            else:
+                pending.append((sel, hamming_topk(
+                    jnp.asarray(nb), pairs, valid, k=k)))
+        for sel, (d, i) in pending:
+            d = np.asarray(d)[:len(sel)]
+            i = np.asarray(i)[:len(sel)]
+            hit = d < threshold
+            got = hit.sum(axis=1)
+            for r, needle in enumerate(sel):
+                want = int(counts[needle])
+                if got[r] != want or want > k_cap:
+                    results[needle] = None  # approx miss / overflow
+                else:
+                    cols = np.nonzero(hit[r])[0]
+                    results[needle] = (i[r, cols].astype(np.int32),
+                                      d[r, cols].astype(np.int32))
+        return results
 
     def search(self, needle_hashes: np.ndarray, needle_batch: int = 256):
         """@param needle_hashes [Q] uint64

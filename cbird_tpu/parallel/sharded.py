@@ -97,7 +97,10 @@ def make_multihost_mesh(axes: tuple[str, str] = ("batch", "index")) -> Mesh:
 
 def _local_topk(needles, haystack, valid, k: int, recall: float = 0.99):
     """Single-shard top-k (no jit wrapper — runs inside shard_map);
-    recall >= 1.0 selects the exact sort (invariant-repair rescans)."""
+    recall >= 1.0 selects the exact sort (invariant-repair rescans).
+    k is clamped to the shard's rows — a shard can't contribute more
+    candidates than it holds; the gathered merge restores the caller's k."""
+    k = min(k, haystack.shape[0])
     d = _chunk_dists(needles[:, 0], needles[:, 1], haystack[:, 0], haystack[:, 1])
     d = jnp.where(valid[None, :], d, BAD_DIST)
     if haystack.shape[0] > 4096 and recall < 1.0:
@@ -128,7 +131,7 @@ def sharded_hamming_topk(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray
         local_d, local_i = _local_topk(n, h, v, k, recall)
         local_i = local_i + jax.lax.axis_index(idx_axis) * h.shape[0]
         # merge the per-shard candidate sets (k·S values/needle over ICI)
-        return _merge_gathered(local_d, local_i, idx_axis)
+        return _merge_gathered(local_d, local_i, idx_axis, k_out=k)
 
     return run(needles, haystack, valid)
 
@@ -174,15 +177,17 @@ def shard_index_arrays(mesh: Mesh, haystack: np.ndarray, valid: np.ndarray):
     return shard_rows(mesh, haystack, valid)
 
 
-def _merge_gathered(local_d, local_i, axis_name):
+def _merge_gathered(local_d, local_i, axis_name, k_out: int | None = None):
     """all_gather per-shard [Q,k] candidates over the index axis and take
-    the global top-k (shared tail of every sharded scan)."""
+    the global top-k (shared tail of every sharded scan).
+    @param k_out merged width (the caller's k, which can exceed the
+    per-shard clamped k); defaults to the local k, capped at s*k."""
     all_d = jax.lax.all_gather(local_d, axis_name)  # [S, Q, k]
     all_i = jax.lax.all_gather(local_i, axis_name)
     s, q, kk = all_d.shape
     all_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kk)
     all_i = jnp.moveaxis(all_i, 0, 1).reshape(q, s * kk)
-    neg, sel = jax.lax.top_k(-all_d, kk)
+    neg, sel = jax.lax.top_k(-all_d, min(k_out or kk, s * kk))
     return -neg, jnp.take_along_axis(all_i, sel, axis=1)
 
 

@@ -703,3 +703,139 @@ def test_video_n2_empty_store(monkeypatch):
     sp = SearchParams()
     sp.skipFrames = 0
     assert idx.find_batch(media, sp) == [[] for _ in media]
+
+
+def _minima_store(seed=3, videos=20, tombstone=6):
+    """DctVideoIndex with random small-space hashes (dense near-collisions)
+    plus planted near-duplicate needles; returns (idx, needles)."""
+    from cbird_tpu.index.dct_video_index import DctVideoIndex
+    rng = np.random.default_rng(seed)
+    idx = DctVideoIndex()
+    idx._loaded = True
+    stored = []
+    for v in range(videos):
+        n = int(rng.integers(5, 60))
+        hashes = rng.integers(1, 1 << 16, size=n, dtype=np.uint64)
+        idx._store.add_video(v + 1, np.arange(n, dtype=np.int32) * 7, hashes)
+        stored.append(hashes)
+    idx._store.remove([tombstone])
+    needles = rng.integers(1, 1 << 16, size=24, dtype=np.uint64)
+    # plant exact + near (≤2 bit flips) copies of stored hashes, including
+    # hashes of the tombstoned video (must never match)
+    plants = [stored[0][0], stored[1][2] ^ np.uint64(3),
+              stored[tombstone - 1][1], stored[videos - 1][-1] ^ np.uint64(9)]
+    needles = np.concatenate([needles, np.array(plants, np.uint64)])
+    return idx, needles
+
+
+def _assert_minima_match_dense(idx, needles, thresh):
+    sparse = idx._per_video_minima(needles, thresh)
+    d, f = idx._store.search(needles)
+    for r in range(len(needles)):
+        slots = np.nonzero(d[r] < thresh)[0]
+        s, dd, ff = sparse[r]
+        assert s.tolist() == slots.tolist(), r
+        assert dd.tolist() == d[r, slots].tolist(), r
+        assert ff.tolist() == f[r, slots].tolist(), r
+
+
+def test_sparse_minima_match_dense(monkeypatch):
+    """_per_video_minima (search_hits sparse extraction) must equal the
+    dense [Q, V] kernel per-video minima, incl. tombstoned videos and
+    (dist, frame) tie-breaks."""
+    from cbird_tpu.ops import hamming
+    monkeypatch.setattr(hamming, "_MESH", None)
+    idx, needles = _minima_store()
+    _assert_minima_match_dense(idx, needles, thresh=6)
+
+
+def test_sparse_minima_fallback_parity(monkeypatch):
+    """Needles whose hit count overflows k_cap fall back to the dense
+    kernel; mixed sparse/fallback batches stay bit-identical to dense."""
+    from cbird_tpu.ops import hamming
+    monkeypatch.setattr(hamming, "_MESH", None)
+    idx, needles = _minima_store(seed=4)
+    orig = idx._store.search_hits
+    monkeypatch.setattr(
+        idx._store, "search_hits",
+        lambda h, t, **kw: orig(h, t, k_cap=1))
+    # with k_cap=1 every multi-hit needle returns None (fallback)
+    assert any(r is None for r in idx._store.search_hits(needles, 12))
+    _assert_minima_match_dense(idx, needles, thresh=12)
+
+
+def test_search_hits_exact_vs_numpy(monkeypatch):
+    """search_hits returns exactly the sub-threshold (row, dist) set of a
+    brute-force numpy scan (rows of tombstoned videos excluded)."""
+    from cbird_tpu.ops import hamming
+    monkeypatch.setattr(hamming, "_MESH", None)
+    idx, needles = _minima_store(seed=5)
+    store = idx._store
+    thresh = 8
+    hits = store.search_hits(needles, thresh)
+    store._consolidate()
+    alive = np.array([bool(m) for m in store.media_ids])[store._vidx]
+    for r, h in enumerate(hits):
+        x = np.bitwise_xor(store._hashes, needles[r])
+        dist = np.array([bin(v).count("1") for v in x.tolist()])
+        want = np.nonzero((dist < thresh) & alive)[0]
+        assert h is not None
+        rows, dd = h
+        order = np.argsort(rows)
+        assert rows[order].tolist() == want.tolist(), r
+        assert dd[order].tolist() == dist[want].tolist(), r
+
+
+def test_sparse_minima_sharded():
+    """Sparse extraction over the 8-device conftest mesh (sharded counts +
+    sharded top-k with global rows) equals the dense sharded kernel."""
+    from cbird_tpu.ops import hamming
+    assert hamming._search_mesh() is not None, "conftest mesh missing"
+    idx, needles = _minima_store(seed=6)
+    _assert_minima_match_dense(idx, needles, thresh=6)
+
+
+def test_video_n2_all_pairs_path(monkeypatch):
+    """Stored, non-diverged needles resolve through the triangular
+    all-pairs self-search — the flat count gate must not run — and the
+    results equal the per-needle path, including a nonzero trim window."""
+    from cbird_tpu.index.dct_video_index import DctVideoIndex
+    from cbird_tpu.ops import hamming
+    from cbird_tpu.params import SearchParams, TYPE_VIDEO
+
+    monkeypatch.setattr(hamming, "_MESH", None)
+    rng = np.random.default_rng(11)
+    idx = DctVideoIndex()
+    idx._loaded = True
+    media = []
+    base = rng.integers(1, 2**63, size=120, dtype=np.uint64)
+    for v in range(12):
+        hashes = rng.integers(1, 2**63, size=120, dtype=np.uint64)
+        if v == 3:
+            hashes = base.copy()
+        if v == 7:  # duplicate clip of video 3's middle
+            hashes[15:95] = base[25:105]
+        m = Media(f"/x/{v}.mp4", TYPE_VIDEO, 64, 64, f"v{v}")
+        m.id = v + 1
+        m.videoIndex = VideoIndexData(
+            frames=np.arange(120, dtype=np.int32) * 10, hashes=hashes)
+        idx._store.add_video(m.id, m.videoIndex.frames, m.videoIndex.hashes)
+        media.append(m)
+    sp = SearchParams()
+    sp.skipFrames = 40  # nonzero trim window (reference default is 300)
+    sp.minFramesMatched = 10
+
+    def boom(*a, **k):
+        raise AssertionError("flat count gate ran — all-pairs path skipped")
+    monkeypatch.setattr(idx._store, "flat_hit_counts", boom)
+    batched = idx.find_batch(media, sp)
+    monkeypatch.undo()
+    monkeypatch.setattr(hamming, "_MESH", None)
+    single = [idx._find_video(m, sp) for m in media]
+    for b, s in zip(batched, single):
+        assert [(m.mediaId, m.score,
+                 (m.range.srcIn, m.range.dstIn, m.range.len)) for m in b] \
+            == [(m.mediaId, m.score,
+                 (m.range.srcIn, m.range.dstIn, m.range.len)) for m in s]
+    assert any(m.mediaId == 8 for m in batched[3])
+    assert any(m.mediaId == 4 for m in batched[7])
