@@ -121,15 +121,80 @@ def run_accuracy(root: str, n_base: int = 40,
     return results
 
 
+def run_video_accuracy(root: str, n_base: int = 12, n_frames: int = 150
+                       ) -> dict:
+    """Video-algo recall/precision: every variant clip queried as a video
+    needle, truth = its base's files (reference harness equivalent:
+    /root/reference/unit/testvideoindex.cpp:31 — xiph clips; no network
+    here, so photo-statistics pans from tests/corpus.make_video_corpus).
+    @return {"recall": r, "precision": p, "rows": n, "seconds": s}"""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "tests"))
+    from corpus import VIDEO_VARIANTS, make_video_corpus
+
+    from cbird_tpu.cli.main import main as cli
+    from cbird_tpu.host.engine import Engine
+    from cbird_tpu.params import IndexParams, SearchParams
+
+    marker = os.path.join(root, f".vcorpus-{n_base}")
+    if not os.path.exists(marker):
+        t0 = time.time()
+        files = make_video_corpus(root, n_base=n_base, n_frames=n_frames)
+        with open(marker, "w") as f:
+            json.dump(files, f)
+        print(f"video corpus: {n_base} bases x {n_frames} frames built in "
+              f"{time.time() - t0:.0f}s", file=sys.stderr)
+    with open(marker) as f:
+        files = json.load(f)
+
+    t0 = time.time()
+    rc = cli(["-use", root, "-i.algos", "16", "-i.fsize", "16",
+              "-create", "-update"])
+    assert rc == 0, "video indexing failed"
+    print(f"video index: updated in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    sp = SearchParams()
+    sp.set_param("alg", "video")
+    sp.skipFrames = 5         # corpus clips are ~6 s; default 300 is for
+    sp.minFramesMatched = 10  # feature films (reference index.h defaults)
+    eng = Engine(root, IndexParams())
+    found = correct = false_pos = rows = 0
+    t0 = time.time()
+    try:
+        for base, variants in files.items():
+            truth = set(variants.values())
+            for tag in VIDEO_VARIANTS:
+                needle = eng.db.media_with_path(variants[tag])
+                assert needle is not None, variants[tag]
+                matches = eng.db.similar_to(needle, sp)
+                names = {m.path for m in matches}
+                rows += 1
+                if variants["orig"] in names:
+                    found += 1
+                correct += len(names & truth)  # same-base siblings all count
+                false_pos += len(names - truth)
+    finally:
+        eng.db.close()
+    return {"recall": found / max(rows, 1),
+            "precision": correct / max(correct + false_pos, 1),
+            "rows": rows, "seconds": round(time.time() - t0, 1)}
+
+
 def main(argv=None):
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--bases", type=int, default=40)
     ap.add_argument("--root", default="/tmp/cbird_accuracy")
-    ap.add_argument("--algos", default="dct,fdct,orb,color")
+    ap.add_argument("--algos", default="dct,fdct,orb,color,video")
+    ap.add_argument("--video-bases", type=int, default=12)
     args = ap.parse_args(argv)
-    res = run_accuracy(args.root, args.bases,
-                       tuple(args.algos.split(",")))
+    algos = tuple(args.algos.split(","))
+    image_algos = tuple(a for a in algos if a != "video")
+    res = run_accuracy(args.root, args.bases, image_algos) \
+        if image_algos else {}
+    if "video" in algos:
+        res["video"] = run_video_accuracy(
+            os.path.join(args.root, "video"), args.video_bases)
     print(f"{'algo':<18} {'recall':>7} {'precision':>9} {'rows':>5} {'sec':>6}")
     for algo, s in res.items():
         print(f"{algo:<18} {s['recall']:>7.3f} {s['precision']:>9.3f} "

@@ -121,6 +121,82 @@ def make_photo_corpus(root: str, n_base: int = 40, seed: int = 7,
     return out
 
 
+def photo_video(rng: np.random.Generator, n_frames: int, h: int, w: int
+                ) -> np.ndarray:
+    """One synthetic grayscale 'video' [n_frames, h, w] uint8: a camera pan
+    over a photographic-statistics canvas plus a moving hard-edged object
+    and luminance drift — consecutive frames are near-duplicates (so the
+    indexer's hash-run window compression engages, as with real footage)
+    while the content evolves enough to retain frames throughout."""
+    canvas = photo_image(rng, h * 2, w * 2)[..., 1].astype(np.float64) / 255.0
+    # smooth pan path covering the canvas
+    t = np.linspace(0, 1, n_frames)
+    y_path = (h * (0.5 + 0.45 * np.sin(2 * np.pi * t * rng.uniform(0.6, 1.4)))
+              ).astype(int)
+    x_path = (w * t * rng.uniform(0.7, 0.95)).astype(int)
+    ow, oh = int(w * 0.2), int(h * 0.2)
+    frames = np.empty((n_frames, h, w), np.uint8)
+    for i in range(n_frames):
+        y0, x0 = int(y_path[i]), int(x_path[i])
+        f = canvas[y0:y0 + h, x0:x0 + w].copy()
+        # moving object (hard edges for per-frame structure)
+        oy = int((h - oh) * (0.5 + 0.4 * np.sin(2 * np.pi * i / 40)))
+        ox = int((w - ow) * i / n_frames)
+        f[oy:oy + oh, ox:ox + ow] = 0.7 * f[oy:oy + oh, ox:ox + ow] + 0.3
+        f = f * (0.9 + 0.1 * np.sin(2 * np.pi * i / 60))  # exposure drift
+        frames[i] = np.clip(f * 255, 0, 255).astype(np.uint8)
+    return frames
+
+
+def make_video_corpus(root: str, n_base: int = 12, n_frames: int = 150,
+                      seed: int = 23) -> dict[str, dict[str, str]]:
+    """Video accuracy corpus (reference testvideoindex.cpp uses xiph clips;
+    no network here, so bases are photo_video pans).  Per base: the
+    original plus the transforms the video algo is designed to recover —
+    a middle sub-clip, a 0.5x spatial rescale (dct hashes are
+    scale-invariant), a letterboxed copy (per-frame autocrop removes the
+    bars) and additive sensor noise (re-encode proxy).
+    @return base -> {variant name: path}"""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from PIL import Image as _Im
+
+    from cbird_tpu.host.video import FseqBackend
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    out: dict[str, dict[str, str]] = {}
+    for i in range(n_base):
+        h = int(rng.integers(96, 128))
+        w = int(rng.integers(128, 176))
+        frames = photo_video(rng, n_frames, h, w)
+        name = f"v{i:03d}"
+        files: dict[str, str] = {}
+
+        def put(tag: str, arr: np.ndarray):
+            p = os.path.join(root, f"{name}_{tag}.fseq")
+            FseqBackend.save(p, arr, 25.0)
+            files[tag] = p
+
+        put("orig", frames)
+        put("clip", frames[n_frames // 4: (3 * n_frames) // 4].copy())
+        half = np.stack([np.asarray(_Im.fromarray(f).resize(
+            (w // 2, h // 2), _Im.LANCZOS)) for f in frames])
+        put("scaled", half)
+        bar = int(h * 0.18)
+        boxed = np.zeros((n_frames, h + 2 * bar, w), np.uint8)
+        boxed[:, bar:bar + h] = frames
+        put("letterbox", boxed)
+        noisy = np.clip(frames.astype(np.int16)
+                        + rng.normal(0, 3, frames.shape), 0, 255) \
+            .astype(np.uint8)
+        put("noise", noisy)
+        out[name] = files
+    return out
+
+
+VIDEO_VARIANTS = ("clip", "scaled", "letterbox", "noise")
+
+
 # Which variants each algo is EXPECTED to recover (drives recall truth):
 # dct: scale/recompression robust; crop only via -p.crop/letterbox logic;
 #      not rotation- or mirror-invariant (mirror needs -p.refl).

@@ -43,6 +43,19 @@ def test_accuracy_features(tmp_path):
     assert res["orb"]["precision"] >= 0.75, res["orb"]
 
 
+def test_accuracy_video(tmp_path):
+    """Video-algo recall/precision on the pan-video corpus: every variant
+    (sub-clip, 0.5x rescale, letterbox, sensor noise) must find its base
+    and no cross-base video (reference harness: unit/testvideoindex.cpp)."""
+    from accuracy import run_video_accuracy
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    res = run_video_accuracy(str(tmp_path / "vacc"), n_base=5, n_frames=100)
+    assert res["rows"] == 20, res
+    assert res["recall"] >= 0.95, res
+    assert res["precision"] >= 0.95, res
+
+
 def test_dct_recompression_stability(tmp_path):
     """Hash bits survive JPEG requantization: ≤6 bits moved down to q50
     (the recall target regime for -p.dht)."""
