@@ -226,6 +226,7 @@ def bench_ingest(n_videos=8, frames=400, workers=(1, 2, 4)):
     params = IndexParams()
     results = list(process_videos(paths, params, workers=1))  # warm/compile
     assert all(m is not None for _, m in results)
+    cores = os.cpu_count()
     for w in workers:
         t0 = time.perf_counter()
         res = list(process_videos(paths, params, workers=w))
@@ -233,7 +234,8 @@ def bench_ingest(n_videos=8, frames=400, workers=(1, 2, 4)):
         ok = sum(1 for _, m in res if m is not None)
         print(f"ingest: {ok}/{n_videos} videos x {frames} frames, "
               f"workers={w}: {n_videos * frames / dt:,.0f} frames/s "
-              f"({dt:.2f} s)")
+              f"({dt:.2f} s; decode is host-CPU-bound — {cores} core(s) "
+              f"here, so workers>{cores} only add contention)")
 
 
 if __name__ == "__main__":

@@ -12,8 +12,9 @@ write back to the Database exactly like the GUI slots do:
 - **unweed**: remove a weed record
 
 The dedup workflow is keyboard-driven like the reference list widget
-(j/k/h/l select, d delete, w weed, x negative, c compare, g quality,
-n/p page); image pairs open a zoom/pan-synced A/B compare with an
+(j/k/h/l select, d delete, f replace, r rename, m move, w weed,
+x negative, c compare, g quality, n/p page); image pairs open a
+zoom/pan-synced A/B compare with an
 absolute-difference overlay (VideoCompareWidget analog for images),
 and `g` fills no-reference quality scores into the item cards.
 
@@ -26,8 +27,8 @@ index as the CLI exit code (< 0 if canceled).
 Serves on 127.0.0.1 only; `-browse` blocks until Quit is pressed or the
 process is interrupted.  GET endpoints: `/` (app), `/api/groups?page=N[&set=]`,
 `/api/index`, `/thumb/<media id>`, `/diff?a=&b=`; POST: `/api/delete`,
-`/api/replace`, `/api/weed`, `/api/negative`, `/api/unweed`,
-`/api/quality`, `/api/select`, `/api/quit`.
+`/api/replace`, `/api/rename`, `/api/move`, `/api/weed`, `/api/negative`,
+`/api/unweed`, `/api/quality`, `/api/select`, `/api/quit`.
 """
 
 from __future__ import annotations
@@ -132,6 +133,16 @@ document.addEventListener('keydown', async (e) => {
     else if (k === 'w' && selI > 0) await act('weed', s.m.id, s.needle.id);
     else if (k === 'x' && selI > 0) await act('negative', s.m.id, s.needle.id);
     else if (k === 'o') await act('open', s.m.id);
+    else if (k === 'r') {
+      const name = prompt('rename to:', s.m.path.split('/').pop());
+      if (name) { const r = await api('/api/rename', {id: s.m.id, name: name});
+        if (r.error) alert(r.error); else { await load(page); highlight(); } }
+    }
+    else if (k === 'm') {
+      const dir = prompt('move to folder (under index root):');
+      if (dir) { const r = await api('/api/move', {id: s.m.id, dir: dir});
+        if (r.error) alert(r.error); else { await load(page); highlight(); } }
+    }
     else if (k === 'g') await qualGroup();
     else if (k === 'c' && selI > 0) {
       if (s.m.video && s.needle.video) await compare(s.needle.id, s.m.id);
@@ -306,9 +317,9 @@ def _page_html(title: str, token: str = "", mode: str = "normal",
 <button id='upd' onclick='updateIndex()' style='float:right'>Update index</button>
 </nav>
 <div class='keyhelp'>keys: j/k group &middot; h/l item &middot; n/p page &middot;
-d delete &middot; f replace &middot; w weed &middot; x not-a-match &middot;
-c compare &middot; g quality &middot; o open &middot; u index &middot;
-Esc close</div>
+d delete &middot; f replace &middot; r rename &middot; m move &middot;
+w weed &middot; x not-a-match &middot; c compare &middot; g quality &middot;
+o open &middot; u index &middot; Esc close</div>
 <div id='overlay' style='display:none'></div>
 <div id='groups'></div>
 <script>const TOKEN={json.dumps(token)};const MODE={json.dumps(mode)};
@@ -559,6 +570,42 @@ class BrowserState:
             if os.path.dirname(other.path) != old_dir and \
                     not self.db.move(other, old_dir):
                 return f"cannot move {other.path} to {old_dir}"
+        return None
+
+    def rename(self, mid: int, new_name: str) -> str | None:
+        """Rename in place, index preserved (reference
+        MediaGroupListWidget::renameFileAction,
+        src/gui/mediagrouplistwidget.cpp — same-directory rename)."""
+        m = self.media(mid)
+        if m is None:
+            return "unknown media id"
+        new_name = os.path.basename((new_name or "").strip())
+        if not new_name:
+            return "empty name"
+        with self.lock:
+            if not self.db.rename(m, os.path.join(os.path.dirname(m.path),
+                                                  new_name)):
+                return f"cannot rename to {new_name} (exists or archived?)"
+        return None
+
+    def move(self, mid: int, new_dir: str) -> str | None:
+        """Move to another folder under the index root, index preserved
+        (reference MediaGroupListWidget::moveFileAction)."""
+        m = self.media(mid)
+        if m is None:
+            return "unknown media id"
+        new_dir = (new_dir or "").strip()
+        if not new_dir:
+            return "empty directory"
+        dst = new_dir if os.path.isabs(new_dir) \
+            else os.path.join(self.db.path(), new_dir)
+        root = os.path.realpath(self.db.path())
+        if os.path.commonpath([root, os.path.realpath(
+                os.path.join(dst, "x"))]) != root:
+            return "destination must stay under the index root"
+        with self.lock:
+            if not self.db.move(m, dst):
+                return f"cannot move to {new_dir}"
         return None
 
     def open(self, mid: int) -> str | None:
@@ -815,6 +862,10 @@ class _Handler(BaseHTTPRequestHandler):
             err = s.unweed(mid)
         elif url.path == "/api/negative":
             err = s.negative(mid, other)
+        elif url.path == "/api/rename":
+            err = s.rename(mid, str(body.get("name") or ""))
+        elif url.path == "/api/move":
+            err = s.move(mid, str(body.get("dir") or ""))
         elif url.path == "/api/open":
             err = s.open(mid)
         elif url.path == "/api/reveal":

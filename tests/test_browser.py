@@ -166,6 +166,35 @@ def test_browser_replace(browser, tmp_path):
     assert status == 400 and "pair" in resp["error"]
 
 
+def test_browser_rename_move(browser):
+    """Rename and move actions (reference MediaGroupListWidget rename/move
+    file actions): path updates on disk and in the Database, id preserved."""
+    eng, groups, url = browser
+    m = groups[0][0]
+    old_path = m.path
+    status, resp = _post(url + "api/rename", {"id": m.id, "name": "zz.png"})
+    assert status == 200 and resp.get("ok"), resp
+    ren = eng.db.media_with_id(m.id)
+    assert os.path.basename(ren.path) == "zz.png"
+    assert os.path.exists(ren.path) and not os.path.exists(old_path)
+
+    status, resp = _post(url + "api/move", {"id": m.id, "dir": "sub"})
+    assert status == 200 and resp.get("ok"), resp
+    moved = eng.db.media_with_id(m.id)
+    assert os.path.basename(os.path.dirname(moved.path)) == "sub"
+    assert os.path.exists(moved.path)
+
+    # escapes of the index root are rejected
+    status, resp = _post(url + "api/move", {"id": m.id, "dir": "../esc"})
+    assert status == 400 and "root" in resp["error"], resp
+    # collision is rejected cleanly
+    other = next(x for g in groups for x in g if x.id != m.id)
+    status, resp = _post(url + "api/rename",
+                         {"id": other.id,
+                          "name": os.path.basename(other.path)})
+    assert status == 400, resp
+
+
 def test_browser_serves_original(browser):
     eng, groups, url = browser
     _, data = _get(url + "api/groups?page=0")
