@@ -175,6 +175,7 @@ async function icompare(a, b) {
   const ov = document.getElementById('overlay');
   ov.style.display = 'block';
   ov.innerHTML = '<h2>compare <button onclick="toggleDiff(' + a + ',' + b + ')">diff</button> ' +
+    '<button onclick="tmatch(' + a + ',' + b + ')">template</button> ' +
     '<button onclick="document.getElementById(\\'overlay\\').style.display=\\'none\\'">close</button>' +
     ' <span class="keyhelp">wheel = zoom, drag = pan (both panes synced); Esc closes</span></h2>' +
     '<div class="cmp" id="cmpwrap">' +
@@ -186,6 +187,11 @@ function toggleDiff(a, b) {
   diffMode = !diffMode;
   document.getElementById('cmpB').src =
     diffMode ? ('/diff?a=' + a + '&b=' + b) : ('/file/' + b);
+}
+async function tmatch(a, b) {
+  const r = await fetch('/tmatch?a=' + a + '&b=' + b);
+  if (!r.ok) { alert(await r.text()); return; }
+  document.getElementById('cmpB').src = URL.createObjectURL(await r.blob());
 }
 async function quit() { await api('/api/quit', {}); document.body.innerHTML = '<h1>bye</h1>'; }
 async function compare(a, b) {
@@ -414,6 +420,7 @@ class BrowserState:
         self.removed: set[int] = set()
         self.lock = threading.Lock()
         self._quality: dict[int, int] = {}
+        self._tmatcher = None  # lazy TemplateMatcher (compiles ORB on use)
         self._media: dict[int, Media] = {}
         for g in self.groups:
             for m in g:
@@ -524,6 +531,43 @@ class BrowserState:
         return buf.getvalue()
 
     # ---- actions (all mirror GUI slots writing to the Database) ----------
+    def template_overlay(self, a: int, b: int):
+        """Run the TemplateMatcher on the (template=a, candidate=b) pair
+        and return candidate's image with the matched template ROI drawn
+        (reference MediaGroupListWidget template-match action,
+        src/gui/mediagrouplistwidget.cpp — draws the matched region).
+        @return JPEG bytes or an error string."""
+        import copy
+        import io as _io
+
+        from PIL import Image as PImage
+        from PIL import ImageDraw
+
+        from ..host.template_matcher import TemplateMatcher
+        from ..params import SearchParams
+        ma, mb = self.media(a), self.media(b)
+        if ma is None or mb is None:
+            return "unknown media id"
+        with self.lock:
+            if self._tmatcher is None:
+                self._tmatcher = TemplateMatcher()
+        cand = copy.copy(mb)  # match() mutates score/roi — keep state clean
+        group = [cand]
+        self._tmatcher.match(ma, group, SearchParams())
+        if not group or cand.roi is None:
+            return "no template match (pair exceeds -p.tmthr)"
+        try:
+            with PImage.open(mb.path) as im:
+                img = im.convert("RGB")
+        except OSError:
+            return "cannot decode"
+        draw = ImageDraw.Draw(img)
+        pts = [(float(x), float(y)) for x, y in cand.roi]
+        draw.line(pts + pts[:1], fill=(80, 255, 120), width=3)
+        buf = _io.BytesIO()
+        img.save(buf, "JPEG", quality=88)
+        return buf.getvalue()
+
     def delete(self, mid: int) -> str | None:
         from .commands import trash_file
         m = self.media(mid)
@@ -770,6 +814,16 @@ class _Handler(BaseHTTPRequestHandler):
             except ValueError:
                 return self._send(400, b"bad ids", "text/plain")
             out = self.state.image_diff(a, b)
+            if isinstance(out, str):
+                return self._send(404, out.encode(), "text/plain")
+            self._send(200, out, "image/jpeg")
+        elif url.path == "/tmatch":
+            q = parse_qs(url.query)
+            try:
+                a, b = int(q.get("a", ["0"])[0]), int(q.get("b", ["0"])[0])
+            except ValueError:
+                return self._send(400, b"bad ids", "text/plain")
+            out = self.state.template_overlay(a, b)
             if isinstance(out, str):
                 return self._send(404, out.encode(), "text/plain")
             self._send(200, out, "image/jpeg")

@@ -264,7 +264,15 @@ def _level_kernel(lvl: int, k: int):
     """One pyramid level as its own jitted program — 12 small compiles build
     ~30% faster than one monolithic graph, and unused levels never compile."""
     n = _LEVEL_DIMS[lvl][0]
-    scale = (SCALE ** lvl) * (CANVAS / n)  # level-0 px per level px
+    # level-0 px per level px: _resize_area shrinks content by exactly
+    # CANVAS/n (its ratio is out_n/CANVAS regardless of content size), so
+    # that IS the whole map-back factor.  n ≈ CANVAS/SCALE**lvl already —
+    # multiplying by SCALE**lvl again (an earlier bug) inflated level-ℓ
+    # coordinates by 1.2^ℓ, which cancelled for same-level matches (all
+    # index-path images are prescaled to one 400px frame) but skewed every
+    # cross-level match: a 0.75-scale pair's mutual matches clustered at an
+    # apparent 0.75·1.2⁻² = 0.52 similarity, breaking the TemplateMatcher.
+    scale = CANVAS / n
 
     @jax.jit
     def run(canvas, h, w):
@@ -276,8 +284,10 @@ def _level_kernel(lvl: int, k: int):
             angles = _orientation(patches)
             blurred = jnp.pad(_box_blur(level, 2), PATCH)
             desc = _descriptors(blurred, ys, xs, angles)
-            return (xs.astype(jnp.float32) * scale,
-                    ys.astype(jnp.float32) * scale,
+            # pixel-center map-back: level cell x covers level-0 interval
+            # [x·s, (x+1)·s) — its center is (x+0.5)·s − 0.5
+            return ((xs.astype(jnp.float32) + 0.5) * scale - 0.5,
+                    (ys.astype(jnp.float32) + 0.5) * scale - 0.5,
                     jnp.full((k,), PATCH * scale, jnp.float32),
                     resp, angles, desc, valid)
 

@@ -14,9 +14,9 @@ from cbird_tpu.cli.main import main
 from fixtures import synth_image
 
 
-def _get(url):
+def _get(url, timeout=10):
     try:
-        with urllib.request.urlopen(url, timeout=10) as r:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
             return r.status, r.read()
     except urllib.error.HTTPError as e:
         return e.code, e.read()
@@ -193,6 +193,47 @@ def test_browser_rename_move(browser):
                          {"id": other.id,
                           "name": os.path.basename(other.path)})
     assert status == 400, resp
+
+
+@pytest.mark.features  # TemplateMatcher runs the ORB kernel (compile tier)
+def test_browser_template_match_overlay(tmp_path, monkeypatch):
+    """/tmatch runs the TemplateMatcher on a pair and returns the candidate
+    image with the matched ROI drawn (reference template-match action).
+    Needs ORB corners, so it builds its own photo-statistics pair (the
+    shared fixture's smooth sin/cos textures have no keypoints)."""
+    sys_dir = os.path.dirname(__file__)
+    import sys
+    sys.path.insert(0, sys_dir)
+    from corpus import photo_image
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    rng = np.random.default_rng(17)
+    arr = photo_image(rng, 280, 360)
+    Image.fromarray(arr).save(os.path.join(root, "orig.png"))
+    Image.fromarray(arr).resize((270, 210), Image.LANCZOS).save(
+        os.path.join(root, "scaled.png"))
+    assert main(["-use", root, "-i.algos", "dct", "-i.fsize", "16",
+                 "-create", "-update"]) == 0
+
+    from cbird_tpu.cli.browser import serve_browser
+    from cbird_tpu.host.engine import Engine
+    from cbird_tpu.params import IndexParams, SearchParams
+    eng = Engine(root, IndexParams())
+    groups = eng.db.similar(SearchParams())
+    assert groups and len(groups[0]) == 2
+    server, thread, url = serve_browser(eng.db, groups, title="t",
+                                        block=False)
+    try:
+        a, b = groups[0][0], groups[0][1]
+        # first call pays the ORB kernel compile when the cache is cold
+        status, body = _get(url + f"tmatch?a={a.id}&b={b.id}", timeout=900)
+        assert status == 200 and body[:2] == b"\xff\xd8", body[:40]  # JPEG
+        status, body = _get(url + "tmatch?a=999&b=1000")
+        assert status == 404
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+        eng.db.close()
 
 
 def test_browser_serves_original(browser):

@@ -169,3 +169,44 @@ def test_template_match_cache(tm_setup):
     tm.match(tmpl, g2, params)
     assert [m.path for m in g2] == [m.path for m in g1]
     assert g2[0].score == g1[0].score
+
+
+def test_cross_scale_keypoint_geometry():
+    """Keypoints of a native-size 0.75x rescaled pair must mutual-match at
+    the TRUE similarity scale.  Regression for the pyramid map-back bug:
+    level-l coordinates were multiplied by an extra 1.2^l, which cancelled
+    for same-level (equal-size) pairs but skewed every cross-level match —
+    this pair's matches then clustered at an apparent 0.75/1.2^2 = 0.52
+    scale and the TemplateMatcher verified nothing at non-unit scale."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from corpus import photo_image
+
+    from cbird_tpu.host.template_matcher import estimate_similarity_ransac
+
+    rng = np.random.default_rng(17)
+    arr = photo_image(rng, 280, 360)
+    orig = Image.fromarray(arr)
+    scaled = orig.resize((270, 210), Image.LANCZOS)  # 0.75x, native size
+    g_t = np.asarray(orig.convert("L"))
+    g_c = np.asarray(scaled.convert("L"))
+
+    tm = TemplateMatcher()
+    p = SearchParams()
+    txs, tys, tdesc = tm._features(g_t, p.needleFeatures)
+    cxs, cys, cdesc = tm._features(g_c, p.haystackFeatures)
+    pairs = _mutual_radius_match(tdesc, cdesc, p.cvThresh)
+    assert len(pairs) >= 10, f"too few mutual matches: {len(pairs)}"
+    tp = np.array([[txs[a], tys[a]] for a, _ in pairs])
+    cp = np.array([[cxs[b], cys[b]] for _, b in pairs])
+
+    # most matches must already be consistent with the true transform
+    err_true = np.linalg.norm(tp * 0.75 - cp, axis=1)
+    frac = (err_true < 3.0).mean()
+    assert frac >= 0.5, f"only {frac:.0%} of matches at the true scale"
+
+    # and RANSAC must recover ~0.75 similarity scale from them
+    tx = estimate_similarity_ransac(tp, cp)
+    assert tx is not None
+    s = float(np.hypot(tx[0, 0], tx[1, 0]))
+    assert 0.70 < s < 0.80, f"estimated scale {s:.3f}, want ~0.75"
