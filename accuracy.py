@@ -165,7 +165,8 @@ def run_video_accuracy(root: str, n_base: int = 12, n_frames: int = 150
             truth = set(variants.values())
             for tag in VIDEO_VARIANTS:
                 needle = eng.db.media_with_path(variants[tag])
-                assert needle is not None, variants[tag]
+                # media_with_path returns an EMPTY Media for unknown paths
+                assert needle.is_valid(), f"not indexed: {variants[tag]}"
                 matches = eng.db.similar_to(needle, sp)
                 names = {m.path for m in matches}
                 rows += 1

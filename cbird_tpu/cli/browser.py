@@ -231,6 +231,8 @@ async function selectGroup(i) {
 async function showIndex() {
   const d = await api('/api/index');
   curSet = null;
+  lastData = null;  // index cards have no selectable items — destructive
+                    // keys must not act on the previous group view
   document.getElementById('title').textContent =
     d.title + ' — ' + d.entries.length + ' ' + d.mode;
   const c = document.getElementById('groups');
@@ -388,7 +390,7 @@ def build_index(groups: MediaGroupList, mode: str
             if len(dirs) != 2:
                 sets[UNPAIRED_KEY].append(g)
                 continue
-            a, b = dirs
+            a, b = sorted(dirs)  # pair is unordered: [old,new] == [new,old]
             i = len(os.path.commonprefix([a, b]))
             while i > 0 and (i > len(a) or a[i - 1] != "/"):
                 i -= 1

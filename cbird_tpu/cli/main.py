@@ -639,10 +639,13 @@ complete -F _cbird_complete cbird""")
         if a == "-serve":
             # resident query daemon: index + compiled programs stay warm so
             # a query is one dispatch (clients route via CBIRD_SERVER)
-            from .serve import serve_cli
+            from .serve import parse_hostport, serve_cli
             addr = os.environ.get("CBIRD_SERVE_ADDR", "127.0.0.1:0")
-            host, _, port = addr.rpartition(":")
-            serve_cli(self.engine(), host or "127.0.0.1", int(port or 0))
+            try:
+                host, port = parse_hostport(addr)
+            except ValueError as e:
+                raise ParamError(str(e)) from None
+            serve_cli(self.engine(), host, port)
             return i + 1
         if a == "-browse":
             from .browser import serve_browser

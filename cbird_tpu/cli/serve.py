@@ -35,6 +35,34 @@ from ..store.media import Media
 from ..utils.log import info, warn
 
 
+def parse_hostport(addr: str, default_host: str = "127.0.0.1",
+                   default_port: int = 0) -> tuple[str, int]:
+    """Lenient ``host:port`` parse for CBIRD_SERVE_ADDR/CBIRD_SERVER.
+
+    Accepts bare host (``localhost``), bare port (``8080``), ``host:port``,
+    bracketed IPv6 (``[::1]:8080``) and bare IPv6 (``::1``).
+    @raises ValueError with a readable message on a non-numeric port."""
+    addr = addr.strip()
+    if not addr:
+        return default_host, default_port
+    if addr.startswith("["):
+        host, _, rest = addr[1:].partition("]")
+        port = rest.lstrip(":")
+        if port and not port.isdigit():
+            raise ValueError(f"invalid port in address: {addr!r}")
+        return host or default_host, int(port) if port else default_port
+    host, sep, port = addr.rpartition(":")
+    if not sep:
+        if addr.isdigit():
+            return default_host, int(addr)
+        return addr, default_port
+    if ":" in host:  # bare IPv6 like ::1 (no port)
+        return addr, default_port
+    if not port.isdigit():
+        raise ValueError(f"invalid port in address: {addr!r}")
+    return host or default_host, int(port)
+
+
 def _group_payload(groups) -> list:
     out = []
     for g in groups:
@@ -131,7 +159,9 @@ class QueryServer:
         ids = getattr(getattr(index, "_store", None), "ids", None)
         if ids is not None and len(ids):
             import numpy as np
-            first = int(np.asarray(ids)[0])
+            live = np.asarray(ids)
+            live = live[live != 0]  # id 0 = tombstone (removed media)
+            first = int(live[0]) if len(live) else 0
             if first:
                 m = self.engine.db.media_with_id(first)
                 if m.is_valid():
@@ -167,9 +197,8 @@ class QueryClient:
     """Thin JSON-lines client for a running -serve daemon."""
 
     def __init__(self, address: str):
-        host, _, port = address.rpartition(":")
-        self.sock = socket.create_connection((host or "127.0.0.1", int(port)),
-                                             timeout=600)
+        host, port = parse_hostport(address)
+        self.sock = socket.create_connection((host, port), timeout=600)
         self._f = self.sock.makefile("rwb")
 
     def call(self, req: dict) -> dict:

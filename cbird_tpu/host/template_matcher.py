@@ -218,11 +218,14 @@ class TemplateMatcher:
 
         tmpl_gray = self._decode_gray(tmpl.path)
         if tmpl_gray is None:
+            # keep the cache-verified survivors — only the todo set is lost
             warn(f"template matcher: cannot load {tmpl.path}")
+            group.extend(sorted(good, key=lambda m: m.score))
             return
         txs, tys, tdesc = self._features(tmpl_gray, params.needleFeatures)
         if len(tdesc) == 0:
             warn(f"template matcher: no keypoints in {tmpl.path}")
+            group.extend(sorted(good, key=lambda m: m.score))
             return
 
         # decode every candidate (LRU-cached), apply the -p.tscale shrink,

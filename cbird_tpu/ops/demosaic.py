@@ -104,6 +104,47 @@ def find_edge_lines(gray: np.ndarray, min_coverage: float = 0.75,
     return pick(row_cov), pick(col_cov)
 
 
+def _grid_lines(lines: list[int], size: int, min_cell: int = 48,
+                margin: int = 8) -> list[int]:
+    """Longest chain of boundaries forming a near-regular grid.
+
+    The reference only splits when the detected lines look like a grid:
+    consecutive gaps must be s, 2s or s/2 of some base step s, and the
+    chain needs >= 3 boundaries (selectLines + the count<3 full-image
+    fallback, src/cvutil.cpp:1553-1640).  Without this, any single strong
+    natural edge spanning the image (a horizon, a roofline) would split
+    an ordinary photo in two.  Image boundaries 0/size participate as
+    candidate grid lines, as in the reference.
+    @return chained boundary positions incl. extremes, or [] (not a grid)
+    """
+    pts = sorted({0, size, *lines})
+    best: list[int] = []
+    for k in range(len(pts) - 1):
+        for i in range(k + 1, len(pts)):
+            s = pts[i] - pts[k]
+            if s < min_cell:
+                continue
+            accepted = [s, 2 * s]
+            if s // 2 >= min_cell:
+                accepted.append(s // 2)
+            chain = [pts[k], pts[i]]
+            prev = i
+            advanced = True
+            while advanced:
+                advanced = False
+                for j in range(prev + 1, len(pts)):
+                    d = pts[j] - pts[prev]
+                    if any(abs(d - a) <= margin for a in accepted):
+                        chain.append(pts[j])
+                        prev = j
+                        advanced = True
+                        break
+            key = (len(chain), chain[-1] - chain[0])
+            if not best or key > (len(best), best[-1] - best[0]):
+                best = chain
+    return best if len(best) >= 3 else []
+
+
 def demosaic_rects_hough(gray: np.ndarray, min_cell: int = 48,
                          min_gap: int = 32, min_coverage: float = 0.75
                          ) -> list[tuple[int, int, int, int]]:
@@ -111,13 +152,14 @@ def demosaic_rects_hough(gray: np.ndarray, min_cell: int = 48,
     whose cells touch directly, no solid gutter)."""
     h, w = gray.shape
     rows, cols = find_edge_lines(gray, min_coverage, min_gap)
-
-    def spans(lines: list[int], size: int):
-        edges = [0] + sorted(lines) + [size]
-        return [(a, b) for a, b in zip(edges[:-1], edges[1:])
-                if b - a >= min_cell]
-
-    vs, hs = spans(rows, h), spans(cols, w)
+    hb = _grid_lines(rows, h, min_cell)
+    vb = _grid_lines(cols, w, min_cell)
+    if not hb and not vb:
+        return []  # neither axis forms a regular grid
+    hb = hb or [0, h]
+    vb = vb or [0, w]
+    vs = [(a, b) for a, b in zip(hb[:-1], hb[1:]) if b - a >= min_cell]
+    hs = [(a, b) for a, b in zip(vb[:-1], vb[1:]) if b - a >= min_cell]
     if len(vs) * len(hs) <= 1:
         return []
     return [(t, b, l, r) for t, b in vs for l, r in hs]

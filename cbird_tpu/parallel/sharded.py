@@ -152,7 +152,9 @@ def sharded_all_pairs_step(mesh: Mesh, needles: jnp.ndarray,
     def run(n, h, v):
         local_d, local_i = _local_topk(n, h, v, k)
         local_i = local_i + jax.lax.axis_index(i_axis) * h.shape[0]
-        return _merge_gathered(local_d, local_i, i_axis)
+        # k_out: a small store clamps the per-shard k, but the gathered
+        # candidate pool is s*k wide — merge back at the caller's k
+        return _merge_gathered(local_d, local_i, i_axis, k_out=k)
 
     return run(needles, haystack, valid)
 
@@ -214,7 +216,7 @@ def sharded_lanes_topk(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
             neg, ik = jax.lax.top_k(-d, min(k, h.shape[0]))
             dk = -neg
         ik = ik + jax.lax.axis_index(idx_axis) * h.shape[0]
-        out_d, out_i = _merge_gathered(dk, ik, idx_axis)
+        out_d, out_i = _merge_gathered(dk, ik, idx_axis, k_out=k)
         return out_d.astype(jnp.int32), out_i
 
     return run(needles, haystack, valid)
@@ -238,7 +240,7 @@ def sharded_color_topk(mesh: Mesh, n_colors: jnp.ndarray, n_counts: jnp.ndarray,
         local_s, local_i = color_topk_local(nc, nn, hc, hn, hv,
                                             k=min(k, hc.shape[0]))
         local_i = local_i + jax.lax.axis_index(idx_axis) * hc.shape[0]
-        return _merge_gathered(local_s, local_i, idx_axis)
+        return _merge_gathered(local_s, local_i, idx_axis, k_out=k)
 
     return run(n_colors, n_counts, h_colors, h_counts, h_valid)
 

@@ -92,6 +92,9 @@ class ParamSpec:
             mask = 0
             for part in text.split("+"):
                 part = part.strip()
+                if part in ("", "none") and not any(
+                        nv.shortName == part for nv in self.namedValues):
+                    continue  # format() emits "none" for an empty mask
                 for nv in self.namedValues:
                     if nv.shortName == part:
                         mask |= nv.value

@@ -303,12 +303,13 @@ def test_build_index_sets():
         return Media(p, Media.TypeImage)
     # two groups matching between the same two dirs -> one set
     g1 = [m("/pre/old/a.png"), m("/pre/new/a.png")]
-    g2 = [m("/pre/old/b.png"), m("/pre/new/b.png")]
+    # needle in the OTHER dir: the unordered pair must land in the same set
+    g2 = [m("/pre/new/b.png"), m("/pre/old/b.png")]
     g3 = [m("/pre/old/c.png")]                      # single dir -> unpaired
     g4 = [m("/pre/x/d.png"), m("/pre/y/d.png")]     # singleton set -> unpaired
     keys, sets = build_index([g1, g2, g3, g4], "sets")
     pair_key = [k for k in keys if k != UNPAIRED_KEY]
-    assert pair_key == ["old/ ↔ new/"]
+    assert pair_key == ["new/ ↔ old/"]  # canonical (sorted) dir order
     assert len(sets[pair_key[0]]) == 2
     assert len(sets[UNPAIRED_KEY]) == 2  # g3 + demoted g4
     # no unpaired entry when everything pairs

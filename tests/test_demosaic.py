@@ -85,6 +85,21 @@ def test_demosaic_rects_gapless_fallback(rng):
         assert b - t >= 100 and r - l >= 130, (t, b, l, r)
 
 
+def test_demosaic_horizon_not_a_grid(rng):
+    """A single full-width natural edge (horizon at 40% height) must NOT
+    split an ordinary photo: the edge fallback only accepts lines whose
+    spacing forms a regular grid (reference selectLines + count<3 gate,
+    src/cvutil.cpp:1553-1640)."""
+    h, w = 300, 400
+    img = np.zeros((h, w), np.uint8)
+    img[:120] = 200 + (rng.random((120, w)) * 8).astype(np.uint8)  # sky
+    ground = synth_image(rng, h - 120, w).astype(np.int16)
+    img[120:] = np.clip(ground // 2, 0, 90).astype(np.uint8)
+    rows, _cols = find_edge_lines(img)
+    assert any(abs(r - 120) <= 1 for r in rows), rows  # edge IS detected
+    assert demosaic_rects(img) == []  # ...but it is not a grid
+
+
 def test_demosaic_not_a_grid(rng):
     # textured image with no solid separators anywhere
     img = np.random.default_rng(1).integers(0, 255, (240, 300)).astype(np.uint8)

@@ -67,6 +67,33 @@ def test_serve_cli_routing(served, monkeypatch, capsys):
     assert "dup1.png" in out
 
 
+def test_parse_hostport():
+    from cbird_tpu.cli.serve import parse_hostport
+    assert parse_hostport("127.0.0.1:8080") == ("127.0.0.1", 8080)
+    assert parse_hostport("localhost") == ("localhost", 0)  # bare host
+    assert parse_hostport("8080") == ("127.0.0.1", 8080)    # bare port
+    assert parse_hostport("") == ("127.0.0.1", 0)
+    assert parse_hostport("[::1]:90") == ("::1", 90)
+    assert parse_hostport("::1") == ("::1", 0)
+    with pytest.raises(ValueError):
+        parse_hostport("host:notaport")
+
+
+def test_serve_params_roundtrip():
+    """Every explicitly-set SearchParams value survives the client's
+    changed_kv() -> server set_param() round-trip, including a FLAGS
+    param cleared to 0 (formatted as 'none')."""
+    from cbird_tpu.params import SearchParams
+    p = SearchParams()
+    p.set_param("refl", "0")   # FLAGS = 0 -> formats as "none"
+    p.set_param("alg", "dct")
+    p.set_param("dht", "8")
+    q = SearchParams()
+    for k, v in p.changed_kv():
+        q.set_param(k, v)
+    assert q.mirrorMask == 0 and q.dctThresh == 8 and q.algo == p.algo
+
+
 def test_serve_stop(served):
     from cbird_tpu.cli.serve import QueryClient
     root, srv = served

@@ -59,6 +59,29 @@ def test_sharded_all_pairs(mesh, rng):
     assert (i[:, 0] == np.arange(n)).all()
 
 
+def test_sharded_small_store_keeps_k(mesh, rng):
+    """A store with fewer rows per shard than k must still merge back to
+    the caller's k (regression: the per-shard clamp shrank the output to
+    rows_per_shard, silently dropping matches beyond it)."""
+    n = 32  # 8 rows per index shard (4 shards), k=16 > 8
+    base = rng.integers(1, 2**63, size=1, dtype=np.uint64)[0]
+    # 20 near-duplicates of the needle (distance 1), rest random
+    haystack = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    haystack[:20] = base ^ (np.uint64(1) << rng.integers(0, 63, 20).astype(np.uint64))
+    hs = split_u64(haystack)
+    valid = np.ones(n, dtype=bool)
+    ns = split_u64(np.array([base], dtype=np.uint64))
+    hs_d, vs_d = shard_index_arrays(mesh, hs, valid)
+    d, i = sharded_hamming_topk(mesh, jnp.asarray(ns), hs_d, vs_d, k=16)
+    d = np.asarray(d)
+    assert d.shape == (1, 16)
+    assert (d[0] <= 1).sum() == 16  # all 16 slots hold real near-dups
+    d2, i2 = sharded_all_pairs_step(mesh, jnp.asarray(ns).repeat(2, 0),
+                                    jnp.asarray(hs), jnp.asarray(valid), k=16)
+    assert np.asarray(d2).shape == (2, 16)
+    assert (np.asarray(d2)[0] <= 1).sum() == 16
+
+
 def test_sharded_tombstones(mesh, rng):
     n = 2048
     haystack = rng.integers(1, 2**63, size=n, dtype=np.uint64)
