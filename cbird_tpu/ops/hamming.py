@@ -132,12 +132,13 @@ def hamming_count_below(needles: jnp.ndarray, haystack: jnp.ndarray,
     # Speed-of-light note (v5e, 2026-08): this fused xor+popcount+compare+
     # reduce runs at ~160G needle·row pairs/s — VPU peak for ~7 int ops per
     # pair, with zero HBM traffic beyond the one haystack read (the compare
-    # and sum fuse into the distance producer).  An MXU int8 ±1-matmul
-    # computes distances 40x faster in FLOPs but must materialize the [Q, N]
-    # product for the data-dependent threshold, and that HBM write+read
-    # alone costs more than this whole fused pass — so the VPU formulation
-    # is the fastest single-chip design; scaling comes from index sharding
-    # (parallel/sharded.py), which is embarrassingly parallel here.
+    # and sum fuse into the distance producer).  An MXU int8 ±1-matmul in
+    # plain XLA loses (it materializes the [Q, N] product to HBM for the
+    # data-dependent threshold and goes HBM-bound at ~100G pairs/s), but
+    # the Pallas kernel in ops/mxu_count.py keeps the distance tile in
+    # VMEM and measured ~1.8x this path — production count phases route
+    # there when mxu_enabled(); this fused scan remains the CPU/mesh and
+    # huge-store path.
     def body(acc, inp):
         hs_c, vs_c = inp
         d = _chunk_dists(n_lo, n_hi, hs_c[:, 0], hs_c[:, 1])
@@ -248,6 +249,10 @@ class PackedHashStore:
         self._ids = np.zeros(0, dtype=np.uint32)
         self._dev = None  # (hashes [N,2] u32, valid [N] bool) on device
         self._dev_rep = None  # replicated copy for sharded self-search
+        # unpacked ±1 int8 operands for the MXU count path (ops/mxu_count):
+        # bt [128, N] haystack side, a [N, 128] needle side (self-search)
+        self._mxu_bt = None
+        self._mxu_a = None
         if hashes is not None and len(hashes):
             self._hashes = np.asarray(hashes, dtype=np.uint64).copy()
             self._ids = np.asarray(ids, dtype=np.uint32).copy()
@@ -274,6 +279,7 @@ class PackedHashStore:
         self._ids = np.concatenate([self._ids, np.asarray(ids, dtype=np.uint32)])
         self._dev = None
         self._dev_rep = None
+        self._mxu_bt = self._mxu_a = None
 
     def remove(self, ids) -> None:
         """Tombstone by media id (reference zeroes id+hash, keeps the slot)."""
@@ -285,6 +291,7 @@ class PackedHashStore:
             self._hashes[kill] = 0
             self._dev = None
             self._dev_rep = None
+            self._mxu_bt = self._mxu_a = None
 
     def slice(self, media_ids) -> "PackedHashStore":
         keep = np.isin(self._ids, np.asarray(list(media_ids), dtype=np.uint32))
@@ -332,14 +339,36 @@ class PackedHashStore:
                              jax.device_put(valid, rep))
         return self._dev_rep
 
-    @staticmethod
-    def _count_call(nb, pairs_dev, valid_dev, threshold):
+    def _mxu_arrays(self, need_a: bool = False):
+        """Unpacked ±1 int8 operands for the MXU count path, cached until
+        the next add/remove (see ops/mxu_count.py)."""
+        from . import mxu_count as mc
+        pairs_dev, valid_dev = self._device_arrays()
+        if self._mxu_bt is None:
+            self._mxu_bt = mc.unpack_haystack_t(pairs_dev, valid_dev)
+        if need_a and self._mxu_a is None:
+            self._mxu_a = mc.unpack_pm1(pairs_dev, penalty_col=False)
+        return self._mxu_a, self._mxu_bt
+
+    def _count_call(self, nb, pairs_dev, valid_dev, threshold):
         mesh = _search_mesh()
         if mesh is not None:
             from ..parallel.sharded import sharded_count_below
             return sharded_count_below(mesh, jnp.asarray(nb), pairs_dev,
                                        valid_dev, threshold)
         n_pad = pairs_dev.shape[0]
+        from . import mxu_count as mc
+        if mc.mxu_enabled(n_pad) and threshold < 64:
+            # MXU ±1-matmul count: ~1.8x the VPU tile loop on v5e and one
+            # dispatch instead of n_pad/cols (experiments/mxu_count_ab.py)
+            _, bt = self._mxu_arrays()
+            q = nb.shape[0]
+            pad = -q % mc.BQ
+            if pad:
+                nb = np.pad(nb, ((0, pad), (0, 0)))
+            a = mc.unpack_pm1(jnp.asarray(nb), penalty_col=False)
+            return mc.mxu_count_below(a, bt, jnp.int32(threshold),
+                                      bq=mc.BQ, bc=mc.BC)[:q]
         cols = min(1 << 16 if n_pad <= 1 << 20 else 1 << 17, n_pad)
         nb_dev = jnp.asarray(nb)
         acc = jnp.zeros(nb_dev.shape[0], jnp.int32)
@@ -460,6 +489,10 @@ class PackedHashStore:
                                         threshold, rows, cols)[:n]
         else:
             # launch every on/above-diagonal tile asynchronously, sync once
+            from . import mxu_count as mc
+            use_mxu = mc.mxu_enabled(n_pad) and threshold < 64
+            if use_mxu:
+                a_all, bt_all = self._mxu_arrays(need_a=True)
             thresh_dev = jnp.int32(threshold)
             row_parts = []
             for rb in range(0, n_pad, rows):
@@ -467,8 +500,23 @@ class PackedHashStore:
                 for cb in range(0, n_pad, cols):
                     if cb + cols <= rb:
                         continue  # tile entirely below the diagonal
-                    acc = _self_count_tile(acc, jnp.int32(rb), jnp.int32(cb),
-                                           pairs_dev, valid_dev, thresh_dev,
+                    if use_mxu:
+                        # ±1-matmul count tile: 840 vs 419 G pairs/s at
+                        # 10M in a same-process A/B (the one-dispatch-per-
+                        # row-block kernel mxu_self_rows measured only
+                        # 566G — skipped-cell grid traversal costs more
+                        # than these host dispatches save; see
+                        # experiments/mxu_selfrows_ab.py)
+                        acc = mc.mxu_self_tile(acc, jnp.int32(rb),
+                                               jnp.int32(cb), a_all,
+                                               bt_all, valid_dev,
+                                               thresh_dev, rows=rows,
+                                               cols=cols,
+                                               masked=cb < rb + rows)
+                        continue
+                    acc = _self_count_tile(acc, jnp.int32(rb),
+                                           jnp.int32(cb), pairs_dev,
+                                           valid_dev, thresh_dev,
                                            rows=rows, cols=cols,
                                            masked=cb < rb + rows)
                 row_parts.append(acc)

@@ -20,6 +20,13 @@ tournament-tree selection is simply the right algorithm here.  Verdict:
 the XLA path in ops/hamming.py stays the production scan; this kernel is
 kept as a worked counter-example (fusing HBM traffic does not pay when it
 costs 2·k full-tile reductions per revisit).
+
+Contrast with ops/mxu_count.py (2026-08): the COUNT phase is the opposite
+verdict — its epilogue is one compare+reduce (not k serialized min
+extractions), so a Pallas kernel that computes distances as a ±1 int8
+matmul on the MXU and reduces in VMEM beats the fused VPU scan ~1.8x.
+Pallas pays off when the per-tile epilogue is O(1) reductions; it loses
+when the epilogue itself serializes.
 """
 
 from __future__ import annotations

@@ -92,6 +92,7 @@ class PackedVideoStore:
         self._dev = None
         self._by_slot = None  # slot → stored hashes (built lazily)
         self._hash_store = None  # frame rows as a PackedHashStore (lazily)
+        self._mxu_bt = None  # unpacked ±1 operand for the MXU count gate
 
     def _consolidate(self) -> None:
         if self._pending:
@@ -125,6 +126,7 @@ class PackedVideoStore:
         self._dev = None
         self._by_slot = None
         self._hash_store = None
+        self._mxu_bt = None
 
     def video_hashes(self, media_id: int) -> np.ndarray | None:
         """Stored frame hashes (u64) for one media id, or None if absent —
@@ -158,6 +160,7 @@ class PackedVideoStore:
         if changed:
             self._dev = None
             self._hash_store = None
+            self._mxu_bt = None
 
     def _device(self):
         if self._dev is None:
@@ -229,11 +232,23 @@ class PackedVideoStore:
                 acc = sharded_flat_counts(mesh, nb_dev, pairs, valid,
                                           threshold)
             else:
-                nb_dev = jnp.asarray(nb)
-                acc = jnp.zeros(nb.shape[0], jnp.int32)
-                for cb in range(0, fb, cols):
-                    acc = _count_tile(acc, nb_dev, jnp.int32(cb), pairs,
-                                      valid, t, cols=cols)
+                from . import mxu_count as mc
+                if mc.mxu_enabled(fb) and threshold < 64:
+                    # MXU ±1-matmul count (~1.8x the VPU tiles on v5e)
+                    if self._mxu_bt is None:
+                        self._mxu_bt = mc.unpack_haystack_t(pairs, valid)
+                    pad = -nb.shape[0] % mc.BQ
+                    if pad:
+                        nb = np.pad(nb, ((0, pad), (0, 0)))
+                    a = mc.unpack_pm1(jnp.asarray(nb), penalty_col=False)
+                    acc = mc.mxu_count_below(a, self._mxu_bt, t,
+                                             bq=mc.BQ, bc=mc.BC)
+                else:
+                    nb_dev = jnp.asarray(nb)
+                    acc = jnp.zeros(nb.shape[0], jnp.int32)
+                    for cb in range(0, fb, cols):
+                        acc = _count_tile(acc, nb_dev, jnp.int32(cb), pairs,
+                                          valid, t, cols=cols)
             parts.append((qn, acc))
         return np.concatenate([np.asarray(a)[:qn]
                                for qn, a in parts])[:n].astype(np.int32)
