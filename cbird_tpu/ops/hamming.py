@@ -250,9 +250,11 @@ class PackedHashStore:
         self._dev = None  # (hashes [N,2] u32, valid [N] bool) on device
         self._dev_rep = None  # replicated copy for sharded self-search
         # unpacked ±1 int8 operands for the MXU count path (ops/mxu_count):
-        # bt [128, N] haystack side, a [N, 128] needle side (self-search)
+        # bt [128, N] haystack side, a [N, 128] needle side (self-search);
+        # _mxu_rep is the replicated pair for the sharded triangle
         self._mxu_bt = None
         self._mxu_a = None
+        self._mxu_rep = None
         if hashes is not None and len(hashes):
             self._hashes = np.asarray(hashes, dtype=np.uint64).copy()
             self._ids = np.asarray(ids, dtype=np.uint32).copy()
@@ -279,7 +281,7 @@ class PackedHashStore:
         self._ids = np.concatenate([self._ids, np.asarray(ids, dtype=np.uint32)])
         self._dev = None
         self._dev_rep = None
-        self._mxu_bt = self._mxu_a = None
+        self._mxu_bt = self._mxu_a = self._mxu_rep = None
 
     def remove(self, ids) -> None:
         """Tombstone by media id (reference zeroes id+hash, keeps the slot)."""
@@ -291,7 +293,7 @@ class PackedHashStore:
             self._hashes[kill] = 0
             self._dev = None
             self._dev_rep = None
-            self._mxu_bt = self._mxu_a = None
+            self._mxu_bt = self._mxu_a = self._mxu_rep = None
 
     def slice(self, media_ids) -> "PackedHashStore":
         keep = np.isin(self._ids, np.asarray(list(media_ids), dtype=np.uint32))
@@ -484,9 +486,21 @@ class PackedHashStore:
             (n_pad, rows, cols)  # clamped dynamic_slice would double-count
         k = min(k, n)
         if mesh is not None:
+            from . import mxu_count as mc
             from ..parallel.sharded import sharded_self_count
+            mxu_rep = None
+            if mc.mxu_enabled(n_pad) and threshold < 64 \
+                    and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0:
+                # per-chip tiles run the ±1-matmul count; replicated
+                # unpacked operands cached like _dev_rep
+                if self._mxu_rep is None:
+                    self._mxu_rep = (
+                        mc.unpack_pm1(pairs_rep, penalty_col=False),
+                        mc.unpack_haystack_t(pairs_rep, valid_rep))
+                mxu_rep = self._mxu_rep
             counts = sharded_self_count(mesh, pairs_rep, valid_rep,
-                                        threshold, rows, cols)[:n]
+                                        threshold, rows, cols,
+                                        mxu_rep=mxu_rep)[:n]
         else:
             # launch every on/above-diagonal tile asynchronously, sync once
             from . import mxu_count as mc

@@ -59,11 +59,13 @@ def mxu_enabled(n_pad: int) -> bool:
     backend outside interpret mode), bucket divisibility by the column
     block, and a memory cap: the unpacked operands cost 128 bytes/row each
     (vs 8 packed), so huge stores stay on the VPU scan.  CBIRD_MXU=off
-    disables; CBIRD_MXU_CAP overrides the row cap.
+    disables; CBIRD_MXU=force skips the backend check (interpret-mode
+    tests); CBIRD_MXU_CAP overrides the row cap.
     """
-    if os.environ.get("CBIRD_MXU", "on").lower() in ("off", "0", "no"):
+    mode = os.environ.get("CBIRD_MXU", "on").lower()
+    if mode in ("off", "0", "no"):
         return False
-    if jax.default_backend() != "tpu":
+    if mode != "force" and jax.default_backend() != "tpu":
         return False
     if n_pad % BC:
         return False

@@ -198,3 +198,59 @@ def test_multihost_two_process():
     assert all(p.returncode == 0 for p in procs), outs
     assert "MULTIHOST-OK proc=0" in outs[0], outs[0][-2000:]
     assert "MULTIHOST-OK proc=1" in outs[1], outs[1][-2000:]
+
+
+def test_sharded_mxu_counts_interpret(mesh, rng, monkeypatch):
+    """The per-shard MXU ±1-matmul count (Pallas interpreter on the CPU
+    mesh; CBIRD_MXU=force bypasses the TPU-backend gate) must equal the
+    VPU sharded count bit-for-bit."""
+    from cbird_tpu.ops import mxu_count as mc
+    from cbird_tpu.parallel.sharded import (_mxu_shard_rows, shard_rows,
+                                            sharded_count_below)
+    mc._INTERPRET = True  # must precede the first kernel trace
+    n, q, t = 16384, 96, 9  # local shard 4096 = one BC column block
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    valid = rng.random(n) > 0.1
+    needles = split_u64(np.concatenate(
+        [hashes[:48], rng.integers(1, 2**63, 48, np.uint64)]))
+    hs, ok = shard_rows(mesh, split_u64(hashes), valid)
+    vpu = np.asarray(sharded_count_below(mesh, jnp.asarray(needles),
+                                         hs, ok, t))
+    monkeypatch.setenv("CBIRD_MXU", "force")
+    assert _mxu_shard_rows(mesh, n, t)
+    mxu = np.asarray(sharded_count_below(mesh, jnp.asarray(needles),
+                                         hs, ok, t))
+    assert np.array_equal(mxu, vpu)
+    d = (np.bitwise_count(needles[:, None, 0]
+                          ^ hashes.view(np.uint32).reshape(-1, 2)[None, :, 0])
+         + np.bitwise_count(needles[:, None, 1]
+                            ^ hashes.view(np.uint32).reshape(-1, 2)[None, :, 1]))
+    want = ((d < t) & valid[None, :]).sum(axis=1).astype(np.int32)
+    assert np.array_equal(mxu, want)
+
+
+def test_sharded_self_count_mxu_interpret(mesh, rng, monkeypatch):
+    """The MXU step of the balanced triangular self-count must equal the
+    VPU step's counts bit-for-bit (CPU mesh, Pallas interpreter)."""
+    from cbird_tpu.ops import mxu_count as mc
+    from cbird_tpu.parallel.sharded import sharded_self_count
+    mc._INTERPRET = True
+    monkeypatch.setenv("CBIRD_MXU", "force")
+    n, t = 8192, 6
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    for src, dst in [(5, 8000), (7200, 10), (100, 101), (0, n - 1)]:
+        hashes[dst] = hashes[src] ^ np.uint64(1 << int(rng.integers(0, 64)))
+    pairs = split_u64(hashes)
+    valid = rng.random(n) > 0.05
+    rep = jax.device_put(jnp.asarray(pairs))
+    vrep = jax.device_put(jnp.asarray(valid))
+    vpu = sharded_self_count(mesh, rep, vrep, t, rows=512, cols=2048)
+    a_rep = mc.unpack_pm1(rep, penalty_col=False)
+    bt_rep = mc.unpack_haystack_t(rep, vrep)
+    mxu = sharded_self_count(mesh, rep, vrep, t, rows=512, cols=2048,
+                             mxu_rep=(a_rep, bt_rep))
+    assert np.array_equal(mxu, vpu)
+    d = (np.bitwise_count(hashes[:, None] ^ hashes[None, :])).astype(np.int32)
+    tri = ((d < t) & valid[None, :] & valid[:, None]
+           & (np.arange(n)[None, :] > np.arange(n)[:, None]))
+    assert np.array_equal(mxu, tri.sum(axis=1).astype(np.int32))
