@@ -21,6 +21,12 @@ rate is ~3.1T pairs/s vs ~0.44T pairs/s for the fused VPU
 xor+popcount+compare+reduce tile (ops/hamming.py _count_tile), a ~7x
 ceiling.  Measured A/B lives in experiments/mxu_count_ab.py.
 
+Epilogue verdict (experiments/mxu_epilogue_ab.py, v5e): the VPU
+compare + row-sum epilogue IS the right one — replacing the cross-lane
+sum with a hits @ ones[bc, 1] MXU matmul measured 0.79x (the N=1 matmul
+pads to the MXU width and costs as much as the main dot), and a two-stage
+reshape reduce 0.40x.  Mosaic's native axis-1 reduction wins.
+
 Validity: tombstoned rows (id 0) must never hit.  Column 64 of the packed
 operand holds 0 for valid rows and -128 for invalid ones; the needle side
 carries a constant +1 there, so invalid columns contribute dot <= 64-128 =
