@@ -249,12 +249,11 @@ class PackedHashStore:
         self._ids = np.zeros(0, dtype=np.uint32)
         self._dev = None  # (hashes [N,2] u32, valid [N] bool) on device
         self._dev_rep = None  # replicated copy for sharded self-search
-        # unpacked ±1 int8 operands for the MXU count path (ops/mxu_count):
-        # bt [128, N] haystack side, a [N, 128] needle side (self-search);
-        # _mxu_rep is the replicated pair for the sharded triangle
-        self._mxu_bt = None
-        self._mxu_a = None
-        self._mxu_rep = None
+        # int32 view of the validity mask for the MXU count path
+        # (ops/mxu_count unpacks the packed pairs in-kernel; narrow-block
+        # bitwidth changes hit Mosaic's minor-tiling limit, so validity
+        # crosses the boundary as int32)
+        self._mxu_v32 = None
         if hashes is not None and len(hashes):
             self._hashes = np.asarray(hashes, dtype=np.uint64).copy()
             self._ids = np.asarray(ids, dtype=np.uint32).copy()
@@ -281,7 +280,7 @@ class PackedHashStore:
         self._ids = np.concatenate([self._ids, np.asarray(ids, dtype=np.uint32)])
         self._dev = None
         self._dev_rep = None
-        self._mxu_bt = self._mxu_a = self._mxu_rep = None
+        self._mxu_v32 = None
 
     def remove(self, ids) -> None:
         """Tombstone by media id (reference zeroes id+hash, keeps the slot)."""
@@ -293,7 +292,7 @@ class PackedHashStore:
             self._hashes[kill] = 0
             self._dev = None
             self._dev_rep = None
-            self._mxu_bt = self._mxu_a = self._mxu_rep = None
+            self._mxu_v32 = None
 
     def slice(self, media_ids) -> "PackedHashStore":
         keep = np.isin(self._ids, np.asarray(list(media_ids), dtype=np.uint32))
@@ -341,16 +340,12 @@ class PackedHashStore:
                              jax.device_put(valid, rep))
         return self._dev_rep
 
-    def _mxu_arrays(self, need_a: bool = False):
-        """Unpacked ±1 int8 operands for the MXU count path, cached until
-        the next add/remove (see ops/mxu_count.py)."""
-        from . import mxu_count as mc
-        pairs_dev, valid_dev = self._device_arrays()
-        if self._mxu_bt is None:
-            self._mxu_bt = mc.unpack_haystack_t(pairs_dev, valid_dev)
-        if need_a and self._mxu_a is None:
-            self._mxu_a = mc.unpack_pm1(pairs_dev, penalty_col=False)
-        return self._mxu_a, self._mxu_bt
+    def _mxu_valid(self, valid_dev):
+        """int32 view of the tombstone mask for the MXU count kernels,
+        cached until the next add/remove (see ops/mxu_count.py)."""
+        if self._mxu_v32 is None:
+            self._mxu_v32 = valid_dev.astype(jnp.int32)
+        return self._mxu_v32
 
     def _count_call(self, nb, pairs_dev, valid_dev, threshold):
         mesh = _search_mesh()
@@ -361,15 +356,15 @@ class PackedHashStore:
         n_pad = pairs_dev.shape[0]
         from . import mxu_count as mc
         if mc.mxu_enabled(n_pad) and threshold < 64:
-            # MXU ±1-matmul count: ~1.8x the VPU tile loop on v5e and one
+            # MXU ±1-matmul count: 1.4-2x the VPU tile loop on v5e and one
             # dispatch instead of n_pad/cols (experiments/mxu_count_ab.py)
-            _, bt = self._mxu_arrays()
             q = nb.shape[0]
             pad = -q % mc.BQ
             if pad:
                 nb = np.pad(nb, ((0, pad), (0, 0)))
-            a = mc.unpack_pm1(jnp.asarray(nb), penalty_col=False)
-            return mc.mxu_count_below(a, bt, jnp.int32(threshold),
+            return mc.mxu_count_below(jnp.asarray(nb), pairs_dev,
+                                      self._mxu_valid(valid_dev),
+                                      jnp.int32(threshold),
                                       bq=mc.BQ, bc=mc.BC)[:q]
         cols = min(1 << 16 if n_pad <= 1 << 20 else 1 << 17, n_pad)
         nb_dev = jnp.asarray(nb)
@@ -488,25 +483,20 @@ class PackedHashStore:
         if mesh is not None:
             from . import mxu_count as mc
             from ..parallel.sharded import sharded_self_count
-            mxu_rep = None
-            if mc.mxu_enabled(n_pad) and threshold < 64 \
-                    and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0:
-                # per-chip tiles run the ±1-matmul count; replicated
-                # unpacked operands cached like _dev_rep
-                if self._mxu_rep is None:
-                    self._mxu_rep = (
-                        mc.unpack_pm1(pairs_rep, penalty_col=False),
-                        mc.unpack_haystack_t(pairs_rep, valid_rep))
-                mxu_rep = self._mxu_rep
+            # per-chip tiles run the ±1-matmul count when enabled (the
+            # kernels unpack the packed replicated store in-kernel)
+            use_mxu = (mc.mxu_enabled(n_pad) and threshold < 64
+                       and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0)
             counts = sharded_self_count(mesh, pairs_rep, valid_rep,
                                         threshold, rows, cols,
-                                        mxu_rep=mxu_rep)[:n]
+                                        use_mxu=use_mxu)[:n]
         else:
             # launch every on/above-diagonal tile asynchronously, sync once
             from . import mxu_count as mc
-            use_mxu = mc.mxu_enabled(n_pad) and threshold < 64
+            use_mxu = (mc.mxu_enabled(n_pad) and threshold < 64
+                       and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0)
             if use_mxu:
-                a_all, bt_all = self._mxu_arrays(need_a=True)
+                v32 = self._mxu_valid(valid_dev)
             thresh_dev = jnp.int32(threshold)
             row_parts = []
             for rb in range(0, n_pad, rows):
@@ -517,14 +507,13 @@ class PackedHashStore:
                     if use_mxu:
                         # ±1-matmul count tile: 840 vs 419 G pairs/s at
                         # 10M in a same-process A/B (the one-dispatch-per-
-                        # row-block kernel mxu_self_rows measured only
-                        # 566G — skipped-cell grid traversal costs more
-                        # than these host dispatches save; see
+                        # row-block kernel variant measured only 566G —
+                        # skipped-cell grid traversal costs more than
+                        # these host dispatches save; see
                         # experiments/mxu_selfrows_ab.py)
                         acc = mc.mxu_self_tile(acc, jnp.int32(rb),
-                                               jnp.int32(cb), a_all,
-                                               bt_all, valid_dev,
-                                               thresh_dev, rows=rows,
+                                               jnp.int32(cb), pairs_dev,
+                                               v32, thresh_dev, rows=rows,
                                                cols=cols,
                                                masked=cb < rb + rows)
                         continue

@@ -92,7 +92,7 @@ class PackedVideoStore:
         self._dev = None
         self._by_slot = None  # slot → stored hashes (built lazily)
         self._hash_store = None  # frame rows as a PackedHashStore (lazily)
-        self._mxu_bt = None  # unpacked ±1 operand for the MXU count gate
+        self._mxu_v32 = None  # int32 validity view for the MXU count gate
 
     def _consolidate(self) -> None:
         if self._pending:
@@ -126,7 +126,7 @@ class PackedVideoStore:
         self._dev = None
         self._by_slot = None
         self._hash_store = None
-        self._mxu_bt = None
+        self._mxu_v32 = None
 
     def video_hashes(self, media_id: int) -> np.ndarray | None:
         """Stored frame hashes (u64) for one media id, or None if absent —
@@ -160,7 +160,7 @@ class PackedVideoStore:
         if changed:
             self._dev = None
             self._hash_store = None
-            self._mxu_bt = None
+            self._mxu_v32 = None
 
     def _device(self):
         if self._dev is None:
@@ -234,14 +234,15 @@ class PackedVideoStore:
             else:
                 from . import mxu_count as mc
                 if mc.mxu_enabled(fb) and threshold < 64:
-                    # MXU ±1-matmul count (~1.8x the VPU tiles on v5e)
-                    if self._mxu_bt is None:
-                        self._mxu_bt = mc.unpack_haystack_t(pairs, valid)
+                    # MXU ±1-matmul count (1.4-2x the VPU tiles on v5e;
+                    # the kernel unpacks the packed store in-kernel)
+                    if self._mxu_v32 is None:
+                        self._mxu_v32 = valid.astype(jnp.int32)
                     pad = -nb.shape[0] % mc.BQ
                     if pad:
                         nb = np.pad(nb, ((0, pad), (0, 0)))
-                    a = mc.unpack_pm1(jnp.asarray(nb), penalty_col=False)
-                    acc = mc.mxu_count_below(a, self._mxu_bt, t,
+                    acc = mc.mxu_count_below(jnp.asarray(nb), pairs,
+                                             self._mxu_v32, t,
                                              bq=mc.BQ, bc=mc.BC)
                 else:
                     nb_dev = jnp.asarray(nb)

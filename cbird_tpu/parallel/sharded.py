@@ -285,10 +285,9 @@ def _sharded_mxu_counts(mesh: Mesh, needles: jnp.ndarray,
                         haystack: jnp.ndarray, valid: jnp.ndarray,
                         threshold) -> jnp.ndarray:
     """Per-shard ±1-matmul count (ops/mxu_count: distances on the MXU, the
-    [Q, C] tile never leaves VMEM) + one psum over ICI — the MXU routing
-    shared by sharded_count_below and sharded_flat_counts.  Operands are
-    unpacked per call inside the shard: two extra HBM passes over the
-    local slice, noise next to the count scan itself."""
+    [Q, C] tile never leaves VMEM; the packed shard is unpacked in-kernel)
+    + one psum over ICI — the MXU routing shared by sharded_count_below
+    and sharded_flat_counts."""
     from ..ops import mxu_count as mc
     idx_axis = mesh.axis_names[1]
     q = needles.shape[0]
@@ -302,9 +301,8 @@ def _sharded_mxu_counts(mesh: Mesh, needles: jnp.ndarray,
         out_specs=P(),
         check_vma=False)
     def run(n, h, v, t):
-        a = mc.unpack_pm1(n, penalty_col=False)
-        bt = mc.unpack_haystack_t(h, v)
-        local = mc.mxu_count_below(a, bt, t[0], bq=mc.BQ, bc=mc.BC)
+        local = mc.mxu_count_below(n, h, v.astype(jnp.int32), t[0],
+                                   bq=mc.BQ, bc=mc.BC)
         return jax.lax.psum(local, idx_axis)
 
     return run(needles, haystack, valid,
@@ -420,11 +418,12 @@ def _self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
 
 def _mxu_self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
     """MXU variant of _self_count_step_fn: the per-chip [rows × cols] tile
-    runs the ±1-matmul triangle count (ops/mxu_count.mxu_count_triangle)
-    instead of the VPU xor+popcount tile.  Every tile pays the iota
-    triangle mask (tile kind can't be static under SPMD — chips process
-    different tiles in one program); single-chip A/Bs put the masked
-    kernel well above the VPU tile still."""
+    runs the ±1-matmul triangle count (ops/mxu_count.mxu_count_triangle,
+    unpacking the packed replicated store in-kernel) instead of the VPU
+    xor+popcount tile.  Every tile pays the iota triangle mask (tile kind
+    can't be static under SPMD — chips process different tiles in one
+    program); single-chip A/Bs put the masked kernel well above the VPU
+    tile still."""
     from ..ops import mxu_count as mc
     key = (mesh, rows, cols, span, "mxu")
     fn = _SELF_COUNT_CACHE.get(key)
@@ -432,14 +431,16 @@ def _mxu_self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
         return fn
     ax = tuple(mesh.axis_names)
 
-    def run(st, off, rb, cb, a_rep, bt_rep, v, t):
+    def run(st, off, rb, cb, h, v, t):
         # st [1, span] local counts; off/rb/cb [1] this chip's assignment;
-        # a_rep [N, 128] i8 / bt_rep [128, N] i8 replicated ±1 operands
-        a = jax.lax.dynamic_slice(a_rep, (rb[0], 0), (rows, mc.K_PAD))
+        # h [N, 2] u32 + v [N] bool replicated packed store
+        nd = jax.lax.dynamic_slice(h, (rb[0], 0), (rows, 2))
         rv = jax.lax.dynamic_slice(v, (rb[0],), (rows,))
         cb0 = jnp.maximum(cb[0], 0)  # cb < 0 = idle padding step
-        bt = jax.lax.dynamic_slice(bt_rep, (0, cb0), (mc.K_PAD, cols))
-        counts = mc.mxu_count_triangle(a, bt, t, rb[0], cb0,
+        hs = jax.lax.dynamic_slice(h, (cb0, 0), (cols, 2))
+        vs = jax.lax.dynamic_slice(v, (cb0,), (cols,))
+        counts = mc.mxu_count_triangle(nd, hs, vs.astype(jnp.int32), t,
+                                       rb[0], cb0,
                                        bq=mc.BQ, bc=mc.BC_MASKED)
         live = rv & (cb[0] >= 0)
         inc = counts * live.astype(jnp.int32)
@@ -448,7 +449,7 @@ def _mxu_self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
 
     sm = shard_map(
         run, mesh=mesh,
-        in_specs=(P(ax, None), P(ax), P(ax), P(ax), P(), P(), P(), P()),
+        in_specs=(P(ax, None), P(ax), P(ax), P(ax), P(), P(), P()),
         out_specs=P(ax, None), check_vma=False)
     fn = jax.jit(sm, donate_argnums=(0,))
     _SELF_COUNT_CACHE[key] = fn
@@ -458,7 +459,7 @@ def _mxu_self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
 def sharded_self_count(mesh: Mesh, haystack_rep: jnp.ndarray,
                        valid_rep: jnp.ndarray, threshold: int,
                        rows: int, cols: int,
-                       mxu_rep: tuple | None = None) -> np.ndarray:
+                       use_mxu: bool = False) -> np.ndarray:
     """Triangular self-search count phase, balanced over all mesh devices.
 
     The haystack is REPLICATED (capacity = one chip's HBM; beyond that the
@@ -469,9 +470,9 @@ def sharded_self_count(mesh: Mesh, haystack_rep: jnp.ndarray,
     slice of a donated [C, span] state array — no cross-chip collective at
     all; one readback at the end.
 
-    @param mxu_rep optional replicated (a [N,128] i8, bt [128,N] i8) ±1
-           operands (ops/mxu_count.unpack_*) — tiles then run the MXU
-           matmul count instead of the VPU scan (~2x on v5e)
+    @param use_mxu run the per-chip tiles as MXU ±1-matmul counts
+           (ops/mxu_count, in-kernel unpack) instead of the VPU scan
+           (~2x on v5e single-chip A/Bs)
     @return counts [n_pad] int32 — per store row #{j > i: dist < threshold}
     """
     n_pad = haystack_rep.shape[0]
@@ -492,12 +493,8 @@ def sharded_self_count(mesh: Mesh, haystack_rep: jnp.ndarray,
     sharded_vec = NamedSharding(mesh, P(ax))
     state = jax.device_put(np.zeros((devs, span), np.int32),
                            NamedSharding(mesh, P(ax, None)))
-    if mxu_rep is not None:
-        step = _mxu_self_count_step_fn(mesh, rows, cols, span)
-        operands = (mxu_rep[0], mxu_rep[1], valid_rep)
-    else:
-        step = _self_count_step_fn(mesh, rows, cols, span)
-        operands = (haystack_rep, valid_rep)
+    step = (_mxu_self_count_step_fn if use_mxu
+            else _self_count_step_fn)(mesh, rows, cols, span)
     t = jnp.int32(threshold)
     for i in range(steps):
         offs, rbs, cbs = (np.array([s[i][j] for s in seqs], np.int32)
@@ -505,7 +502,7 @@ def sharded_self_count(mesh: Mesh, haystack_rep: jnp.ndarray,
         state = step(state, jax.device_put(offs, sharded_vec),
                      jax.device_put(rbs, sharded_vec),
                      jax.device_put(cbs, sharded_vec),
-                     *operands, t)
+                     haystack_rep, valid_rep, t)
     host = jax.device_get(state)
     counts = np.zeros(n_pad, np.int32)
     for i, rb in enumerate(blocks):

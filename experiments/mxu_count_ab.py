@@ -1,4 +1,10 @@
-"""A/B: MXU matmul count kernel vs the production VPU fused count tile.
+"""ARCHIVED MEASUREMENT (2026-08-18): targets the pre-packed-operand
+mxu_count API (unpack_pm1/unpack_haystack_t), replaced by in-kernel
+unpacking after experiments/mxu_epilogue_ab.py v4 measured it
+performance-neutral.  Numbers recorded in docs/TODO.md; to re-run,
+check out the commit that introduced this file.
+
+A/B: MXU matmul count kernel vs the production VPU fused count tile.
 
 Run on the real TPU (axon default platform):
     timeout 1800 python experiments/mxu_count_ab.py

@@ -1,4 +1,10 @@
-"""Sweep 2: wider configs + bf16 operand variant + pool-drift control."""
+"""ARCHIVED MEASUREMENT (2026-08-18): targets the pre-packed-operand
+mxu_count API (unpack_pm1/unpack_haystack_t), replaced by in-kernel
+unpacking after experiments/mxu_epilogue_ab.py v4 measured it
+performance-neutral.  Numbers recorded in docs/TODO.md; to re-run,
+check out the commit that introduced this file.
+
+Sweep 2: wider configs + bf16 operand variant + pool-drift control."""
 
 import sys
 import time

@@ -1,4 +1,10 @@
-"""Epilogue A/B for the MXU count kernel (ops/mxu_count.py): the ±1
+"""ARCHIVED MEASUREMENT (2026-08-18): targets the pre-packed-operand
+mxu_count API (unpack_pm1/unpack_haystack_t), replaced by in-kernel
+unpacking after experiments/mxu_epilogue_ab.py v4 measured it
+performance-neutral.  Numbers recorded in docs/TODO.md; to re-run,
+check out the commit that introduced this file.
+
+Epilogue A/B for the MXU count kernel (ops/mxu_count.py): the ±1
 matmul hits ~840G pairs/s — is the bound the VPU epilogue (compare +
 cross-lane row-sum of the [bq, bc] i32 dot tile) or the MXU itself?
 
@@ -10,6 +16,11 @@ Variants (same grid/blocking as production, real TPU, same process):
       is cheaper than the VPU reduce in practice)
   v2  two-stage reduce: reshape [bq, G, 128] then sum twice (cross-lane
       reduce only on the last 128-wide stage)
+  v3  column-outer grid: grid (n/bc, q/bq) with the FULL [q, 1] count
+      vector resident in VMEM and accumulated via dynamic stores — each
+      b block is fetched ONCE per dispatch instead of once per row
+      sub-block (q/bq fetches), cutting haystack DMA ~q/bq x.  Tests
+      whether v0 is HBM-bound on b re-fetches (~0.5 B/pair).
 """
 
 import sys
@@ -61,6 +72,109 @@ def make_kernel(variant):
     return kernel
 
 
+def _jouter_kernel(t_ref, a_ref, b_ref, out_ref, *, bq):
+    j = pl.program_id(0)  # column block: OUTER (b_ref fetched once per j)
+    i = pl.program_id(1)  # row sub-block: inner (a_ref is 32 KB)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    dot = jax.lax.dot_general(
+        a_ref[:], b_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rhs = 64 - 2 * t_ref[0, 0]
+    hit = (dot > rhs).astype(jnp.int32)
+    inc = jnp.sum(hit, axis=1, keepdims=True)
+    sl = pl.ds(i * bq, bq)
+    out_ref[sl] += inc
+
+
+@jax.jit
+def count_jouter(a, bt, t):
+    q, n = a.shape[0], bt.shape[1]
+    t2d = jnp.full((1, 1), t, jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_jouter_kernel, bq=BQ),
+        grid=(n // BC, q // BQ),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BQ, mc.K_PAD), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mc.K_PAD, BC), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, 1), lambda j, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q, 1), jnp.int32),
+    )(t2d, a, bt)
+    return out[:, 0]
+
+
+def _packed_kernel(t_ref, a_ref, b_ref, v_ref, out_ref, bt_scr, *, bq, bc):
+    """v4: b arrives PACKED ([bc, 2] u32 + [bc] validity as i8); unpack to
+    the ±1 [128, bc] i8 operand in VMEM scratch once per column block
+    (i == 0), amortized over all row sub-blocks.  No unpacked operand in
+    HBM at all — removes the 128 B/row cost and the store-size cap."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(i == 0)
+    def _():
+        # all math in 32-bit lanes; ONE [128, bc] downcast at the end
+        # (small-shape bitwidth changes hit Mosaic's minor-tiling limit)
+        k = jax.lax.broadcasted_iota(jnp.uint32, (mc.K_PAD, bc), 0)
+        word = jnp.where(k < 32, b_ref[:, 0][None, :], b_ref[:, 1][None, :])
+        sh = jnp.where(k < 32, k, k - 32) & jnp.uint32(31)
+        bit = ((word >> sh) & jnp.uint32(1)).astype(jnp.int32)
+        v32 = v_ref[:][None, :]  # [1, bc] int32 0/1
+        # rows 0..63 = ±1 bits; row 64 = validity penalty 0/-128; rest 0
+        pm32 = jnp.where(k < 64, 1 - 2 * bit,
+                         jnp.where(k == 64, -128 * (1 - v32), 0))
+        bt_scr[:] = pm32.astype(jnp.int8)
+
+    dot = jax.lax.dot_general(
+        a_ref[:], bt_scr[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rhs = 64 - 2 * t_ref[0, 0]
+    hit = (dot > rhs).astype(jnp.int32)
+    inc = jnp.sum(hit, axis=1, keepdims=True)
+    sl = pl.ds(i * bq, bq)
+    out_ref[sl] += inc
+
+
+@jax.jit
+def count_packed(a, pairs, valid, t):
+    q, n = a.shape[0], pairs.shape[0]
+    t2d = jnp.full((1, 1), t, jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, bq=BQ, bc=BC),
+        grid=(n // BC, q // BQ),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BQ, mc.K_PAD), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, 2), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC,), lambda j, i: (j,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, 1), lambda j, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((mc.K_PAD, BC), jnp.int8)],
+    )(t2d, a, pairs, valid.astype(jnp.int32))
+    return out[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("variant",))
 def count(a, bt, t, variant):
     q, n = a.shape[0], bt.shape[1]
@@ -90,7 +204,7 @@ def main():
     flip = rng.integers(0, 64, len(idx))
     hashes[idx + 1] = hashes[idx] ^ (np.uint64(1) << flip.astype(np.uint64))
     pairs = jnp.asarray(hashes.view(np.uint32).reshape(-1, 2))
-    valid = jnp.ones(N, bool)
+    valid = jnp.asarray(rng.random(N) > 0.03)  # exercises the penalty row
     a_all = jax.block_until_ready(mc.unpack_pm1(pairs, penalty_col=False))
     bt = jax.block_until_ready(mc.unpack_haystack_t(pairs, valid))
     a = a_all[:Q]
@@ -98,14 +212,20 @@ def main():
     work = Q * N
 
     ref = None
-    for name, v in [("v0 vpu-sum ", 0), ("v1 mm-ones ", 1),
-                    ("v2 2stage  ", 2), ("v0 again   ", 0),
-                    ("v1 again   ", 1)]:
-        np.asarray(count(a, bt, t, v))  # compile
+    variants = [("v0 vpu-sum ", lambda: count(a, bt, t, 0)),
+                ("v4 packed  ", lambda: count_packed(a, pairs, valid, t)),
+                ("v3 j-outer ", lambda: count_jouter(a, bt, t)),
+                ("v0 again   ", lambda: count(a, bt, t, 0)),
+                ("v4 again   ", lambda: count_packed(a, pairs, valid, t))]
+    if "--full" in sys.argv:
+        variants[1:1] = [("v1 mm-ones ", lambda: count(a, bt, t, 1)),
+                         ("v2 2stage  ", lambda: count(a, bt, t, 2))]
+    for name, fn in variants:
+        np.asarray(fn())  # compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = np.asarray(count(a, bt, t, v))
+            out = np.asarray(fn())
             best = min(best, time.perf_counter() - t0)
         if ref is None:
             ref = out

@@ -1,4 +1,10 @@
-"""Three-way count-phase A/B at the raw kernel level, same process:
+"""ARCHIVED MEASUREMENT (2026-08-18): targets the pre-packed-operand
+mxu_count API (unpack_pm1/unpack_haystack_t), replaced by in-kernel
+unpacking after experiments/mxu_epilogue_ab.py v4 measured it
+performance-neutral.  Numbers recorded in docs/TODO.md; to re-run,
+check out the commit that introduced this file.
+
+Three-way count-phase A/B at the raw kernel level, same process:
   1. VPU _self_count_tile host tile loop (production fallback)
   2. MXU mxu_self_tile host tile loop (one pallas dispatch per [rows,cols])
   3. MXU mxu_self_rows (one pallas dispatch per row block, full width)

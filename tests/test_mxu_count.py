@@ -1,9 +1,9 @@
 """MXU matmul count kernels (ops/mxu_count.py) vs numpy golden.
 
 Runs through the Pallas interpreter on the CPU backend (the Mosaic kernels
-themselves only compile on a real TPU; the measured A/B lives in
-experiments/mxu_count_ab.py).  _INTERPRET must be set before the first
-kernel call — jit traces bake the flag in.
+themselves only compile on a real TPU; the measured A/Bs live in
+experiments/mxu_*_ab.py).  _INTERPRET must be set before the first kernel
+call — jit traces bake the flag in.
 """
 
 import numpy as np
@@ -31,13 +31,17 @@ def data():
     return hashes, valid, needles, dists
 
 
+def _dev(hashes, valid):
+    return (jnp.asarray(split_u64(hashes)),
+            jnp.asarray(valid.astype(np.int32)))
+
+
 def test_count_below_matches_golden(data):
     hashes, valid, needles, dists = data
     gold = ((dists < T) & valid[None, :]).sum(1)
-    a = mc.unpack_pm1(jnp.asarray(split_u64(needles)), penalty_col=False)
-    bt = mc.unpack_haystack_t(jnp.asarray(split_u64(hashes)),
-                              jnp.asarray(valid))
-    got = np.asarray(mc.mxu_count_below(a, bt, jnp.int32(T),
+    pairs, v32 = _dev(hashes, valid)
+    got = np.asarray(mc.mxu_count_below(jnp.asarray(split_u64(needles)),
+                                        pairs, v32, jnp.int32(T),
                                         bq=mc.BQ, bc=mc.BC))
     assert np.array_equal(got, gold)
 
@@ -45,12 +49,10 @@ def test_count_below_matches_golden(data):
 def test_threshold_63_invalid_columns_never_hit(data):
     hashes, valid, needles, _ = data
     # worst-case threshold for the -128 validity penalty encoding
-    a = mc.unpack_pm1(jnp.asarray(split_u64(needles[:mc.BQ])),
-                      penalty_col=False)
-    bt = mc.unpack_haystack_t(jnp.asarray(split_u64(hashes)),
-                              jnp.asarray(valid))
-    got = np.asarray(mc.mxu_count_below(a, bt, jnp.int32(63),
-                                        bq=mc.BQ, bc=mc.BC))
+    pairs, v32 = _dev(hashes, valid)
+    got = np.asarray(mc.mxu_count_below(
+        jnp.asarray(split_u64(needles[:mc.BQ])), pairs, v32, jnp.int32(63),
+        bq=mc.BQ, bc=mc.BC))
     dists = np.bitwise_count(
         needles[:mc.BQ, None] ^ hashes[None, :]).astype(np.int32)
     gold = ((dists < 63) & valid[None, :]).sum(1)
@@ -59,10 +61,7 @@ def test_threshold_63_invalid_columns_never_hit(data):
 
 def test_self_tile_matches_vpu_semantics(data):
     hashes, valid, _, _ = data
-    pairs = jnp.asarray(split_u64(hashes))
-    valid_dev = jnp.asarray(valid)
-    a_all = mc.unpack_pm1(pairs, penalty_col=False)
-    bt_all = mc.unpack_haystack_t(pairs, valid_dev)
+    pairs, v32 = _dev(hashes, valid)
     dists = np.bitwise_count(
         hashes[:, None] ^ hashes[None, :]).astype(np.int32)
     rows, cols = 512, 4096
@@ -77,36 +76,35 @@ def test_self_tile_matches_vpu_semantics(data):
         gold = tile.sum(1)
         acc = jnp.zeros(rows, jnp.int32)
         got = np.asarray(mc.mxu_self_tile(
-            acc, jnp.int32(rb), jnp.int32(cb), a_all, bt_all, valid_dev,
+            acc, jnp.int32(rb), jnp.int32(cb), pairs, v32,
             jnp.int32(T), rows=rows, cols=cols, masked=masked))
         assert np.array_equal(got, gold), (rb, cb, masked)
 
 
-def test_self_rows_matches_golden(data):
+def test_triangle_matches_golden(data):
     hashes, valid, _, _ = data
-    pairs = jnp.asarray(split_u64(hashes))
-    valid_dev = jnp.asarray(valid)
-    a_all = mc.unpack_pm1(pairs, penalty_col=False)
-    bt_all = mc.unpack_haystack_t(pairs, valid_dev)
+    pairs, v32 = _dev(hashes, valid)
     dists = np.bitwise_count(
         hashes[:, None] ^ hashes[None, :]).astype(np.int32)
-    tri = ((dists < T) & valid[None, :] & valid[:, None]
+    tri = ((dists < T) & valid[None, :]
            & (np.arange(N)[None, :] > np.arange(N)[:, None]))
-    gold = tri.sum(1)
     rows = 2048
     got = np.concatenate([
-        np.asarray(mc.mxu_self_rows(a_all, bt_all, valid_dev, jnp.int32(T),
-                                    jnp.int32(rb), rows=rows))
+        np.asarray(mc.mxu_count_triangle(
+            pairs[rb:rb + rows], pairs, v32, jnp.int32(T),
+            jnp.int32(rb), jnp.int32(0), bq=mc.BQ, bc=mc.BC_MASKED))
         for rb in range(0, N, rows)])
-    assert np.array_equal(got, gold)
+    # mxu_count_triangle does NOT mask needle-row validity (mxu_self_tile
+    # zeroes those after) — the golden here applies column validity only
+    assert np.array_equal(got, tri.sum(1))
 
 
 def test_mxu_enabled_gates(monkeypatch):
-    # CPU backend: always disabled (Mosaic needs a TPU); plus env,
-    # divisibility and memory-cap gates
+    # CPU backend: always disabled (Mosaic needs a TPU); plus env and
+    # divisibility gates; CBIRD_MXU=force bypasses the backend check
     assert not mc.mxu_enabled(1 << 20)
+    monkeypatch.setenv("CBIRD_MXU", "force")
+    assert mc.mxu_enabled(1 << 20)
+    assert not mc.mxu_enabled(1000)       # not a BC multiple
     monkeypatch.setenv("CBIRD_MXU", "off")
     assert not mc.mxu_enabled(1 << 20)
-    monkeypatch.delenv("CBIRD_MXU")
-    assert not mc.mxu_enabled(1000)       # not a BC multiple
-    assert not mc.mxu_enabled(1 << 25)    # over the memory cap

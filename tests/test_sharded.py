@@ -245,10 +245,8 @@ def test_sharded_self_count_mxu_interpret(mesh, rng, monkeypatch):
     rep = jax.device_put(jnp.asarray(pairs))
     vrep = jax.device_put(jnp.asarray(valid))
     vpu = sharded_self_count(mesh, rep, vrep, t, rows=512, cols=2048)
-    a_rep = mc.unpack_pm1(rep, penalty_col=False)
-    bt_rep = mc.unpack_haystack_t(rep, vrep)
     mxu = sharded_self_count(mesh, rep, vrep, t, rows=512, cols=2048,
-                             mxu_rep=(a_rep, bt_rep))
+                             use_mxu=True)
     assert np.array_equal(mxu, vpu)
     d = (np.bitwise_count(hashes[:, None] ^ hashes[None, :])).astype(np.int32)
     tri = ((d < t) & valid[None, :] & valid[:, None]
