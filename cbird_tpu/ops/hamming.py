@@ -136,9 +136,10 @@ def hamming_count_below(needles: jnp.ndarray, haystack: jnp.ndarray,
     # plain XLA loses (it materializes the [Q, N] product to HBM for the
     # data-dependent threshold and goes HBM-bound at ~100G pairs/s), but
     # the Pallas kernel in ops/mxu_count.py keeps the distance tile in
-    # VMEM and measured ~1.8x this path — production count phases route
-    # there when mxu_enabled(); this fused scan remains the CPU/mesh and
-    # huge-store path.
+    # VMEM and measured 1.4-2x this path — production count phases
+    # (single-chip AND per-shard on meshes) route there when
+    # mxu_enabled(); this fused scan remains the CPU-backend and
+    # non-BC-divisible-bucket path.
     def body(acc, inp):
         hs_c, vs_c = inp
         d = _chunk_dists(n_lo, n_hi, hs_c[:, 0], hs_c[:, 1])
