@@ -359,14 +359,9 @@ class PackedHashStore:
         if mc.mxu_enabled(n_pad) and threshold < 64:
             # MXU ±1-matmul count: 1.4-2x the VPU tile loop on v5e and one
             # dispatch instead of n_pad/cols (experiments/mxu_count_ab.py)
-            q = nb.shape[0]
-            pad = -q % mc.BQ
-            if pad:
-                nb = np.pad(nb, ((0, pad), (0, 0)))
-            return mc.mxu_count_below(jnp.asarray(nb), pairs_dev,
-                                      self._mxu_valid(valid_dev),
-                                      jnp.int32(threshold),
-                                      bq=mc.BQ, bc=mc.BC)[:q]
+            return mc.count_below_padded(nb, pairs_dev,
+                                         self._mxu_valid(valid_dev),
+                                         threshold)
         cols = min(1 << 16 if n_pad <= 1 << 20 else 1 << 17, n_pad)
         nb_dev = jnp.asarray(nb)
         acc = jnp.zeros(nb_dev.shape[0], jnp.int32)
@@ -481,21 +476,19 @@ class PackedHashStore:
         assert n_pad % rows == 0 and n_pad % cols == 0, \
             (n_pad, rows, cols)  # clamped dynamic_slice would double-count
         k = min(k, n)
+        from . import mxu_count as mc
+        # per-chip/tile counts run the ±1-matmul kernel when enabled (the
+        # kernels unpack the packed store in-kernel); BC_MASKED is the
+        # narrowest column block either branch dispatches
+        use_mxu = (mc.mxu_enabled(n_pad) and threshold < 64
+                   and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0)
         if mesh is not None:
-            from . import mxu_count as mc
             from ..parallel.sharded import sharded_self_count
-            # per-chip tiles run the ±1-matmul count when enabled (the
-            # kernels unpack the packed replicated store in-kernel)
-            use_mxu = (mc.mxu_enabled(n_pad) and threshold < 64
-                       and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0)
             counts = sharded_self_count(mesh, pairs_rep, valid_rep,
                                         threshold, rows, cols,
                                         use_mxu=use_mxu)[:n]
         else:
             # launch every on/above-diagonal tile asynchronously, sync once
-            from . import mxu_count as mc
-            use_mxu = (mc.mxu_enabled(n_pad) and threshold < 64
-                       and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0)
             if use_mxu:
                 v32 = self._mxu_valid(valid_dev)
             thresh_dev = jnp.int32(threshold)

@@ -177,6 +177,9 @@ def mxu_count_below(needles: jnp.ndarray, pairs: jnp.ndarray,
     Q must divide by bq, N by bc (callers pad to store buckets).
     """
     q, n = needles.shape[0], pairs.shape[0]
+    # a non-divisible operand would silently truncate the grid (q//bq,
+    # n//bc) and drop the tail rows/columns from the counts
+    assert q % bq == 0 and n % bc == 0, (q, bq, n, bc)
     t2d = jnp.full((1, 1), threshold, jnp.int32)
     out = pl.pallas_call(
         functools.partial(_count_kernel, bq=bq, bc=bc),
@@ -209,6 +212,7 @@ def mxu_count_triangle(needles: jnp.ndarray, pairs: jnp.ndarray,
     global coordinates.  needles are the store rows at [row_base, +Q);
     pairs/valid are the store columns at [col_base, +N)."""
     q, n = needles.shape[0], pairs.shape[0]
+    assert q % bq == 0 and n % bc == 0, (q, bq, n, bc)  # see mxu_count_below
     t2d = jnp.full((1, 1), threshold, jnp.int32)
     base2d = jnp.stack([jnp.int32(row_base), jnp.int32(col_base)])[None, :]
     out = pl.pallas_call(
@@ -254,6 +258,25 @@ def mxu_self_tile(acc: jnp.ndarray, row_base: jnp.ndarray,
         counts = mxu_count_triangle(nd, hs, vs, threshold, row_base,
                                     col_base, bq=BQ, bc=BC_MASKED)
     else:
-        counts = mxu_count_below(nd, hs, vs, threshold, bq=BQ, bc=BC)
+        # callers gate on cols % BC_MASKED == 0 only; fall back to the
+        # narrow column block when the wide one doesn't divide (a bc that
+        # doesn't divide cols would silently truncate the kernel grid)
+        counts = mxu_count_below(nd, hs, vs, threshold, bq=BQ,
+                                 bc=BC if cols % BC == 0 else BC_MASKED)
     rv = jax.lax.dynamic_slice(valid_i32, (row_base,), (rows,))
     return acc + counts * rv
+
+
+def count_below_padded(needles, pairs: jnp.ndarray, valid_i32: jnp.ndarray,
+                       threshold) -> jnp.ndarray:
+    """mxu_count_below with the needle batch padded up to a BQ multiple and
+    the result sliced back to the true batch — the call pattern every host
+    dispatcher shares (hamming._count_call, video_search.flat_hit_counts).
+    ``needles`` may be a host numpy array; pairs/valid stay resident."""
+    q = needles.shape[0]
+    pad = -q % BQ
+    nd = jnp.asarray(needles)
+    if pad:
+        nd = jnp.pad(nd, ((0, pad), (0, 0)))
+    return mxu_count_below(nd, pairs, valid_i32, jnp.int32(threshold),
+                           bq=BQ, bc=BC)[:q]

@@ -238,12 +238,8 @@ class PackedVideoStore:
                     # the kernel unpacks the packed store in-kernel)
                     if self._mxu_v32 is None:
                         self._mxu_v32 = valid.astype(jnp.int32)
-                    pad = -nb.shape[0] % mc.BQ
-                    if pad:
-                        nb = np.pad(nb, ((0, pad), (0, 0)))
-                    acc = mc.mxu_count_below(jnp.asarray(nb), pairs,
-                                             self._mxu_v32, t,
-                                             bq=mc.BQ, bc=mc.BC)
+                    acc = mc.count_below_padded(nb, pairs, self._mxu_v32,
+                                                threshold)
                 else:
                     nb_dev = jnp.asarray(nb)
                     acc = jnp.zeros(nb.shape[0], jnp.int32)

@@ -378,58 +378,24 @@ def sharded_count_below(mesh: Mesh, needles: jnp.ndarray, haystack: jnp.ndarray,
 _SELF_COUNT_CACHE: dict = {}
 
 
-def _self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
+def _self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int,
+                        use_mxu: bool = False):
     """Build (and cache) the per-step program for sharded_self_count: every
     chip processes one [rows × cols] tile of the replicated haystack and
-    accumulates row counts into its local slice of the state array."""
-    key = (mesh, rows, cols, span)  # Mesh hashes by devices+axes — an
-    # id() key could alias a dead mesh whose address was reused
+    accumulates row counts into its local slice of the state array.
+
+    With use_mxu the per-chip tile runs the ±1-matmul triangle count
+    (ops/mxu_count.mxu_count_triangle, unpacking the packed replicated
+    store in-kernel) instead of the VPU xor+popcount tile.  Every MXU tile
+    pays the iota triangle mask (tile kind can't be static under SPMD —
+    chips process different tiles in one program); single-chip A/Bs put
+    the masked kernel well above the VPU tile still."""
+    key = (mesh, rows, cols, span, use_mxu)  # Mesh hashes by devices+axes
+    # — an id() key could alias a dead mesh whose address was reused
     fn = _SELF_COUNT_CACHE.get(key)
     if fn is not None:
         return fn
     ax = tuple(mesh.axis_names)  # flatten both axes: one tile per device
-
-    def run(st, off, rb, cb, h, v, t):
-        # st [1, span] local counts; off/rb/cb [1] this chip's assignment
-        nb = jax.lax.dynamic_slice(h, (rb[0], 0), (rows, 2))
-        rv = jax.lax.dynamic_slice(v, (rb[0],), (rows,))
-        cb0 = jnp.maximum(cb[0], 0)  # cb < 0 = idle padding step
-        hs = jax.lax.dynamic_slice(h, (cb0, 0), (cols, 2))
-        vs = jax.lax.dynamic_slice(v, (cb0,), (cols,))
-        d = _chunk_dists(nb[:, 0], nb[:, 1], hs[:, 0], hs[:, 1])
-        hit = (d < t) & (vs & rv[:, None])
-        # strict upper triangle: j > i excludes self-pairs and the
-        # below-diagonal corner of the one diagonal-straddling tile
-        hit &= (cb0 + jnp.arange(cols, dtype=jnp.int32))[None, :] \
-            > (rb[0] + jnp.arange(rows, dtype=jnp.int32))[:, None]
-        hit &= cb[0] >= 0
-        inc = hit.sum(axis=1, dtype=jnp.int32)
-        seg = jax.lax.dynamic_slice(st, (0, off[0]), (1, rows))
-        return jax.lax.dynamic_update_slice(st, seg + inc[None], (0, off[0]))
-
-    sm = shard_map(
-        run, mesh=mesh,
-        in_specs=(P(ax, None), P(ax), P(ax), P(ax), P(), P(), P()),
-        out_specs=P(ax, None), check_vma=False)
-    fn = jax.jit(sm, donate_argnums=(0,))
-    _SELF_COUNT_CACHE[key] = fn
-    return fn
-
-
-def _mxu_self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
-    """MXU variant of _self_count_step_fn: the per-chip [rows × cols] tile
-    runs the ±1-matmul triangle count (ops/mxu_count.mxu_count_triangle,
-    unpacking the packed replicated store in-kernel) instead of the VPU
-    xor+popcount tile.  Every tile pays the iota triangle mask (tile kind
-    can't be static under SPMD — chips process different tiles in one
-    program); single-chip A/Bs put the masked kernel well above the VPU
-    tile still."""
-    from ..ops import mxu_count as mc
-    key = (mesh, rows, cols, span, "mxu")
-    fn = _SELF_COUNT_CACHE.get(key)
-    if fn is not None:
-        return fn
-    ax = tuple(mesh.axis_names)
 
     def run(st, off, rb, cb, h, v, t):
         # st [1, span] local counts; off/rb/cb [1] this chip's assignment;
@@ -439,11 +405,21 @@ def _mxu_self_count_step_fn(mesh: Mesh, rows: int, cols: int, span: int):
         cb0 = jnp.maximum(cb[0], 0)  # cb < 0 = idle padding step
         hs = jax.lax.dynamic_slice(h, (cb0, 0), (cols, 2))
         vs = jax.lax.dynamic_slice(v, (cb0,), (cols,))
-        counts = mc.mxu_count_triangle(nd, hs, vs.astype(jnp.int32), t,
-                                       rb[0], cb0,
-                                       bq=mc.BQ, bc=mc.BC_MASKED)
-        live = rv & (cb[0] >= 0)
-        inc = counts * live.astype(jnp.int32)
+        if use_mxu:
+            from ..ops import mxu_count as mc
+            counts = mc.mxu_count_triangle(nd, hs, vs.astype(jnp.int32), t,
+                                           rb[0], cb0,
+                                           bq=mc.BQ, bc=mc.BC_MASKED)
+            inc = counts * (rv & (cb[0] >= 0)).astype(jnp.int32)
+        else:
+            d = _chunk_dists(nd[:, 0], nd[:, 1], hs[:, 0], hs[:, 1])
+            hit = (d < t) & (vs & rv[:, None])
+            # strict upper triangle: j > i excludes self-pairs and the
+            # below-diagonal corner of the one diagonal-straddling tile
+            hit &= (cb0 + jnp.arange(cols, dtype=jnp.int32))[None, :] \
+                > (rb[0] + jnp.arange(rows, dtype=jnp.int32))[:, None]
+            hit &= cb[0] >= 0
+            inc = hit.sum(axis=1, dtype=jnp.int32)
         seg = jax.lax.dynamic_slice(st, (0, off[0]), (1, rows))
         return jax.lax.dynamic_update_slice(st, seg + inc[None], (0, off[0]))
 
@@ -493,8 +469,7 @@ def sharded_self_count(mesh: Mesh, haystack_rep: jnp.ndarray,
     sharded_vec = NamedSharding(mesh, P(ax))
     state = jax.device_put(np.zeros((devs, span), np.int32),
                            NamedSharding(mesh, P(ax, None)))
-    step = (_mxu_self_count_step_fn if use_mxu
-            else _self_count_step_fn)(mesh, rows, cols, span)
+    step = _self_count_step_fn(mesh, rows, cols, span, use_mxu)
     t = jnp.int32(threshold)
     for i in range(steps):
         offs, rbs, cbs = (np.array([s[i][j] for s in seqs], np.int32)

@@ -81,6 +81,47 @@ def test_self_tile_matches_vpu_semantics(data):
         assert np.array_equal(got, gold), (rb, cb, masked)
 
 
+def test_self_tile_narrow_cols(data):
+    # cols a BC_MASKED multiple but NOT a BC multiple: the unmasked branch
+    # must drop to the narrow column block instead of silently truncating
+    # the kernel grid (cols // BC == 0 would never run the kernel body)
+    hashes, valid, _, _ = data
+    pairs, v32 = _dev(hashes, valid)
+    dists = np.bitwise_count(
+        hashes[:, None] ^ hashes[None, :]).astype(np.int32)
+    rows, cols, rb, cb = 512, 2048, 2048, 0
+    assert cols % mc.BC_MASKED == 0 and cols % mc.BC
+    tile = (dists[rb:rb + rows, cb:cb + cols] < T) \
+        & valid[None, cb:cb + cols] & valid[rb:rb + rows, None]
+    got = np.asarray(mc.mxu_self_tile(
+        jnp.zeros(rows, jnp.int32), jnp.int32(rb), jnp.int32(cb), pairs,
+        v32, jnp.int32(T), rows=rows, cols=cols, masked=False))
+    assert np.array_equal(got, tile.sum(1))
+
+
+def test_nondivisible_operands_raise(data):
+    hashes, valid, needles, _ = data
+    pairs, v32 = _dev(hashes, valid)
+    with pytest.raises(AssertionError):
+        mc.mxu_count_below(jnp.asarray(split_u64(needles[:100])), pairs,
+                           v32, jnp.int32(T), bq=mc.BQ, bc=mc.BC)
+    with pytest.raises(AssertionError):
+        mc.mxu_count_below(jnp.asarray(split_u64(needles[:mc.BQ])),
+                           pairs[:3000], v32[:3000], jnp.int32(T),
+                           bq=mc.BQ, bc=mc.BC)
+
+
+def test_count_below_padded_matches_golden(data):
+    hashes, valid, needles, dists = data
+    # a needle batch that is not a BQ multiple pads up and slices back
+    q = mc.BQ + 37
+    gold = ((dists[:q] < T) & valid[None, :]).sum(1)
+    pairs, v32 = _dev(hashes, valid)
+    got = np.asarray(mc.count_below_padded(split_u64(needles[:q]), pairs,
+                                           v32, T))
+    assert np.array_equal(got, gold)
+
+
 def test_triangle_matches_golden(data):
     hashes, valid, _, _ = data
     pairs, v32 = _dev(hashes, valid)
