@@ -1000,10 +1000,12 @@ complete -F _cbird_complete cbird""")
         from PIL import Image
         import numpy as np
         pair = []
+        fps = []
         for p in (a, b):
             be = backend_for(p)
             if be is None:
                 raise ParamError(f"no decode backend for {p}")
+            fps.append(be.probe(p).get("fps") or 25.0)
             pair.append(make_video_index(be.frames(p), self.index.videoThreshold))
         ia, ib = pair
         # best alignment: for a few reference frames of A find nearest in B
@@ -1031,6 +1033,12 @@ complete -F _cbird_complete cbird""")
             canvas[:fb.shape[0], fa.shape[1] + 8:] = fb
             Image.fromarray(canvas).save(out)
             info(f"wrote {out}")
+        # aligned NLE project for scrubbing both clips in sync (reference
+        # "compare in kdenlive", src/gui/videocomparewidget.cpp:723-743)
+        from ..host.nle import export_compare
+        nle_out = os.path.splitext(out)[0] + ".kdenlive"
+        export_compare(a, b, mid[0], mid[1], fps[0], fps[1], nle_out)
+        info(f"wrote {nle_out}")
 
     @staticmethod
     def _grab_frame(path: str, frame_no: int):

@@ -50,14 +50,20 @@ def _axis_runs(diff: jnp.ndarray, extent: jnp.ndarray, n: int, axis: int):
 
     @return (first, last_exclusive): for all-False rows, (extent, 0) — the
     convention the reference scan loops produce (src/cvutil.cpp:1316-1328).
-    Implemented as min/max reductions over masked indices (single pass per
-    reduction; no reversal relayout, VPU-friendly).
+    One variadic lax.reduce computes both the min and the max in a single
+    pass over the canvas-sized operand (two separate jnp reductions cost a
+    second full [B,H,W] pass: measured 1.28x on the full autocrop,
+    experiments/hash_opt_ab.py).
     """
     shape = [1, 1, 1]
     shape[axis] = n
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(shape)
-    first = jnp.min(jnp.where(diff, idx, n), axis=axis)
-    last = jnp.max(jnp.where(diff, idx, -1), axis=axis)
+    idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32).reshape(shape), diff.shape)
+    first, last = jax.lax.reduce(
+        (jnp.where(diff, idx, n), jnp.where(diff, idx, -1)),
+        (jnp.int32(n), jnp.int32(-1)),
+        lambda a, b: (jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])),
+        (axis,))
     any_ = last >= 0
     first = jnp.where(any_, first, extent)
     last_ex = jnp.where(any_, last + 1, 0)
@@ -78,13 +84,14 @@ def autocrop_boxes(canvas: jnp.ndarray, sizes: jnp.ndarray,
     B, H, W = canvas.shape
     h = sizes[:, 0].astype(jnp.int32)[:, None]  # [B,1]
     w = sizes[:, 1].astype(jnp.int32)[:, None]
-    x = canvas.astype(jnp.int16)  # |p - color| fits int16; halves HBM traffic
-    color = x[:, 0:1, 0:1]  # [B,1,1]
+    color = canvas[:, 0:1, 0:1]  # [B,1,1]
 
     rows_i = jnp.arange(H, dtype=jnp.int32)
     cols_i = jnp.arange(W, dtype=jnp.int32)
     valid = (rows_i[None, :, None] < h[..., None]) & (cols_i[None, None, :] < w[..., None])
-    diff = (jnp.abs(x - color) > jnp.int16(crop_range)) & valid  # [B,H,W]
+    # |p - color| in uint8 via max-min (exact; avoids an int16 widening pass)
+    ad = jnp.maximum(canvas, color) - jnp.minimum(canvas, color)
+    diff = (ad > jnp.uint8(crop_range)) & valid  # [B,H,W]
 
     min_w_cov = jnp.floor(w.astype(jnp.float32) * 0.66).astype(jnp.int32)
     min_h_cov = jnp.floor(h.astype(jnp.float32) * 0.66).astype(jnp.int32)

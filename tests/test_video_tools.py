@@ -49,6 +49,24 @@ def test_compare_videos(video_dir, capsys):
     offset = int(out.split("alignment offset:")[1].split()[0])
     assert -25 <= offset <= -15, out
     assert os.path.exists(os.path.join(root, "compare.png"))
+    # aligned NLE project (reference "compare in kdenlive")
+    import xml.etree.ElementTree as ET
+    proj = os.path.join(root, "compare.kdenlive")
+    assert os.path.exists(proj)
+    mlt = ET.parse(proj).getroot()
+    producers = mlt.findall("producer")
+    assert len(producers) == 2
+    resources = [p.findtext("property[@name='resource']") for p in producers]
+    assert resources[0].endswith("full.fseq")
+    assert resources[1].endswith("shifted.fseq")
+    playlists = mlt.findall("playlist")
+    assert len(playlists) == 2
+    ins = [int(pl.find("entry").get("in")) for pl in playlists]
+    # clip A is cued ~20 frames (at 25fps -> ~24 template frames) after B
+    diff_tmpl = ins[0] - ins[1]
+    assert 15 <= diff_tmpl <= 32, ins
+    tracks = mlt.find("tractor").findall("track")
+    assert [t.get("producer") for t in tracks] == ["playlist0", "playlist1"]
 
 
 def test_migrate(video_dir):
