@@ -488,36 +488,22 @@ class PackedHashStore:
                                         threshold, rows, cols,
                                         use_mxu=use_mxu)[:n]
         else:
-            # launch every on/above-diagonal tile asynchronously, sync once
-            if use_mxu:
-                v32 = self._mxu_valid(valid_dev)
-            thresh_dev = jnp.int32(threshold)
-            row_parts = []
-            for rb in range(0, n_pad, rows):
-                acc = jnp.zeros(rows, jnp.int32)
-                for cb in range(0, n_pad, cols):
-                    if cb + cols <= rb:
-                        continue  # tile entirely below the diagonal
-                    if use_mxu:
-                        # ±1-matmul count tile: 840 vs 419 G pairs/s at
-                        # 10M in a same-process A/B (the one-dispatch-per-
-                        # row-block kernel variant measured only 566G —
-                        # skipped-cell grid traversal costs more than
-                        # these host dispatches save; see
-                        # experiments/mxu_selfrows_ab.py)
-                        acc = mc.mxu_self_tile(acc, jnp.int32(rb),
-                                               jnp.int32(cb), pairs_dev,
-                                               v32, thresh_dev, rows=rows,
-                                               cols=cols,
-                                               masked=cb < rb + rows)
-                        continue
-                    acc = _self_count_tile(acc, jnp.int32(rb),
-                                           jnp.int32(cb), pairs_dev,
-                                           valid_dev, thresh_dev,
-                                           rows=rows, cols=cols,
-                                           masked=cb < rb + rows)
-                row_parts.append(acc)
-            counts = np.concatenate(jax.device_get(row_parts))[:n]
+            counts = None
+            from . import pigeonhole
+            if pigeonhole.enabled():
+                # pigeonhole sorted count phase: 15-51x fewer pair
+                # evaluations than the triangle at small thresholds, 3.5x
+                # measured at 2M/t=5 (falls back None outside its sweet
+                # spot — see ops/pigeonhole.py)
+                ph = pigeonhole.self_counts(
+                    pairs_dev, valid_dev, threshold,
+                    int(np.count_nonzero(self._ids)))
+                if ph is not None:
+                    counts = ph[:n]
+            if counts is None:
+                counts = self._classic_self_counts(
+                    pairs_dev, valid_dev, threshold, n_pad, rows, cols,
+                    use_mxu)
         empty = (np.zeros(0, np.uint32), np.zeros(0, np.int32))
         results: list = [empty] * n
         hot = np.nonzero(counts >= 1)[0]  # ≥1 neighbor at a LATER row
@@ -590,6 +576,43 @@ class PackedHashStore:
                                  pairs_dev, valid_dev, threshold, k,
                                  needle_batch, recall=0.999)
         return results
+
+    def _classic_self_counts(self, pairs_dev, valid_dev, threshold, n_pad,
+                             rows, cols, use_mxu):
+        """Triangular tiled count phase (the pre-pigeonhole path; still the
+        fallback for big thresholds and degenerate key skew)."""
+        from . import mxu_count as mc
+        n = len(self._hashes)
+        # launch every on/above-diagonal tile asynchronously, sync once
+        if use_mxu:
+            v32 = self._mxu_valid(valid_dev)
+        thresh_dev = jnp.int32(threshold)
+        row_parts = []
+        for rb in range(0, n_pad, rows):
+            acc = jnp.zeros(rows, jnp.int32)
+            for cb in range(0, n_pad, cols):
+                if cb + cols <= rb:
+                    continue  # tile entirely below the diagonal
+                if use_mxu:
+                    # ±1-matmul count tile: 840 vs 419 G pairs/s at
+                    # 10M in a same-process A/B (the one-dispatch-per-
+                    # row-block kernel variant measured only 566G —
+                    # skipped-cell grid traversal costs more than
+                    # these host dispatches save; see
+                    # experiments/mxu_selfrows_ab.py)
+                    acc = mc.mxu_self_tile(acc, jnp.int32(rb),
+                                           jnp.int32(cb), pairs_dev,
+                                           v32, thresh_dev, rows=rows,
+                                           cols=cols,
+                                           masked=cb < rb + rows)
+                    continue
+                acc = _self_count_tile(acc, jnp.int32(rb),
+                                       jnp.int32(cb), pairs_dev,
+                                       valid_dev, thresh_dev,
+                                       rows=rows, cols=cols,
+                                       masked=cb < rb + rows)
+            row_parts.append(acc)
+        return np.concatenate(jax.device_get(row_parts))[:n]
 
     def _later_row_hits(self, needle_rows, results):
         """Per needle row i in ``needle_rows``: #{entries of results[i]

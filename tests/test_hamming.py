@@ -161,11 +161,13 @@ def test_lanes_topk_streaming(rng):
 
 
 def _single_device(monkeypatch):
-    """Force the single-device triangle path: the test conftest creates 8
-    virtual cpu devices, which would engage the sharded fallback and leave
-    search_self untested."""
-    from cbird_tpu.ops import hamming
+    """Force the single-device CLASSIC triangle path: the test conftest
+    creates 8 virtual cpu devices, which would engage the sharded fallback;
+    the pigeonhole count phase (covered by test_pigeonhole.py) is disabled
+    so these keep exercising the tiled triangle."""
+    from cbird_tpu.ops import hamming, pigeonhole
     monkeypatch.setattr(hamming, "_MESH", None)
+    monkeypatch.setattr(pigeonhole, "enabled", lambda: False)
 
 
 def _assert_self_parity(ref, tri):

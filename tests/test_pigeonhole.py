@@ -1,0 +1,148 @@
+"""Pigeonhole count-phase tests: exactness vs a numpy golden and parity of
+the routed search_self against the plain two-phase search (the reference's
+N² -similar semantics, /root/reference/src/database.cpp:1280-1466)."""
+
+import numpy as np
+import pytest
+
+from cbird_tpu.ops import pigeonhole
+from cbird_tpu.ops.dct_hash import split_u64
+from cbird_tpu.ops.hamming import PackedHashStore
+
+import jax.numpy as jnp
+
+
+def _golden_counts(hashes: np.ndarray, valid: np.ndarray, t: int) -> np.ndarray:
+    """counts[i] = #{j > i : valid both, popcount(h_i ^ h_j) < t}."""
+    x = hashes[:, None] ^ hashes[None, :]
+    d = np.zeros(x.shape, np.int32)
+    for shift in range(0, 64, 8):
+        d += np.unpackbits(
+            ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)
+        ).reshape(*x.shape, 8).sum(axis=-1, dtype=np.int32)
+    hit = (d < t) & valid[:, None] & valid[None, :]
+    hit &= np.triu(np.ones(x.shape, bool), k=1)
+    return hit.sum(axis=1).astype(np.int32)
+
+
+def _counts(hashes, valid, t, **kw):
+    pairs = jnp.asarray(split_u64(hashes))
+    return pigeonhole.self_counts(pairs, jnp.asarray(valid), t,
+                                  int(valid.sum()), **kw)
+
+
+def test_block_masks_partition():
+    for t in range(1, 9):
+        masks = pigeonhole.block_masks(t)
+        assert len(masks) == t
+        acc_lo = acc_hi = 0
+        for lo, hi in masks:
+            assert acc_lo & lo == 0 and acc_hi & hi == 0  # disjoint
+            acc_lo |= lo
+            acc_hi |= hi
+        assert acc_lo == acc_hi == 0xFFFFFFFF  # complete
+
+
+@pytest.mark.parametrize("t", [1, 2, 5, 8])
+def test_counts_match_golden(rng, t):
+    n = 4096  # == MIN_STORE so the store isn't gated away
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    # plant clusters at distances straddling every threshold
+    for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
+        h = int(hashes[src])
+        for b in rng.choice(64, size=int(rng.integers(0, t)), replace=False):
+            h ^= 1 << int(b)
+        hashes[dst] = np.uint64(h)
+    hashes[7] = hashes[8]  # exact dup
+    valid = np.ones(n, bool)
+    got = _counts(hashes, valid, t, s=256)
+    assert got is not None
+    np.testing.assert_array_equal(got, _golden_counts(hashes, valid, t))
+
+
+def test_counts_tombstones(rng):
+    n = 4096
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    hashes[100] = hashes[2000]
+    hashes[101] = hashes[2001]
+    valid = np.ones(n, bool)
+    valid[2001] = False  # kill one side of a dup pair
+    valid[rng.choice(n, size=500, replace=False)] = False
+    got = _counts(hashes, valid, 5, s=256)
+    assert got is not None
+    np.testing.assert_array_equal(got, _golden_counts(hashes, valid, 5))
+
+
+def test_counts_oversized_runs(rng):
+    """A giant equal-key cluster (longer than the band tile) must be fully
+    counted via the dense run tiles — the skew case the band alone misses."""
+    n = 8192
+    s = 256
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    base = int(hashes[0])
+    # 1500-member cluster of distance ≤ 2 neighbors: every pair within
+    # distance 4 < 5, and in the t=5 block sort most land in one giant run
+    idx = rng.choice(n, size=1500, replace=False)
+    for i in idx:
+        h = base
+        for b in rng.choice(64, size=int(rng.integers(0, 3)), replace=False):
+            h ^= 1 << int(b)
+        hashes[i] = np.uint64(h)
+    valid = np.ones(n, bool)
+    got = _counts(hashes, valid, 5, s=s)
+    assert got is not None
+    np.testing.assert_array_equal(got, _golden_counts(hashes, valid, 5))
+
+
+def test_counts_budget_fallback(rng):
+    """When nearly the whole store is one equal-key run the dense tiles
+    would re-create the full triangle — self_counts must decline (None)."""
+    n = 8192
+    hashes = np.full(n, 0x1234_5678_9ABC_DEF0, np.uint64)
+    valid = np.ones(n, bool)
+    got = _counts(hashes, valid, 5, s=256)
+    assert got is None
+
+
+def test_gates():
+    pairs = jnp.zeros((2048, 2), jnp.uint32)
+    valid = jnp.ones(2048, bool)
+    assert pigeonhole.self_counts(pairs, valid, 5, 2048) is None  # small
+    big = jnp.zeros((4096, 2), jnp.uint32)
+    bigv = jnp.ones(4096, bool)
+    assert pigeonhole.self_counts(big, bigv, 9, 4096) is None  # t too big
+    assert pigeonhole.self_counts(big, bigv, 0, 4096) is None
+
+
+def test_search_self_routes_pigeonhole(rng, monkeypatch):
+    """search_self with the pigeonhole count phase returns exactly what the
+    plain two-phase path returns (same parity contract as the classic
+    triangle tests in test_hamming.py)."""
+    from cbird_tpu.ops import hamming
+    monkeypatch.setattr(hamming, "_MESH", None)
+    monkeypatch.setattr(pigeonhole, "MIN_STORE", 1024)
+    calls = []
+    real = pigeonhole.self_counts
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(pigeonhole, "self_counts", spy)
+    n = 3000
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
+        hashes[dst] = hashes[src] ^ np.uint64(1 << int(rng.integers(0, 64)))
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+    store = PackedHashStore(hashes, ids)
+    ref = store.search(hashes, 5, k=64, min_hits=2)
+    tri = store.search_self(5, k=64, min_n=0)
+    assert calls == [True], "pigeonhole path was not taken"
+    for row, ((ri, rd), (ti, td)) in enumerate(zip(ref, tri)):
+        if len(ri) <= 1:
+            assert len(ti) == 0 or np.array_equal(ri, ti), row
+        else:
+            assert np.array_equal(ri, ti) and np.array_equal(rd, td), row
+    assert 5 + 1 in tri[2900][0] and 2900 + 1 in tri[5][0]
+    assert 2950 + 1 in tri[10][0] or 10 + 1 in tri[2950][0]
