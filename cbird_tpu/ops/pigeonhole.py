@@ -77,9 +77,12 @@ def block_masks(threshold: int) -> tuple[tuple[int, int], ...]:
     return tuple((int(lo), int(hi)) for lo, hi in masks)
 
 
-@functools.partial(jax.jit, static_argnames=("mlo", "mhi", "s"))
-def _prep_block(pairs, valid, *, mlo, mhi, s):
-    """Sort the store by one block's masked bits.
+@functools.partial(jax.jit, static_argnames=("s",))
+def _prep_block(pairs, valid, cmlo, cmhi, *, s):
+    """Sort the store by one block's masked bits.  The block masks are
+    TRACED u32 scalars so all T blocks share one compiled sort program
+    (the band kernels keep static masks — there the per-block dedup-mask
+    count changes the op mix, here the masked-key compute is identical).
 
     @return (slo, shi, srow, svalid) padded to [N+s] (pad rows invalid),
             plus oversized-run boundary masks: os_start [N-s] (position i
@@ -88,7 +91,6 @@ def _prep_block(pairs, valid, *, mlo, mhi, s):
     """
     lo, hi = pairs[:, 0], pairs[:, 1]
     n = lo.shape[0]
-    cmlo, cmhi = jnp.uint32(mlo), jnp.uint32(mhi)
     # invalid rows (tombstones/bucket padding) sink to the end; a valid
     # all-ones masked key colliding with the sentinel only wastes scan
     # work on the dead tail (the kernels' validity mask keeps counts right)
@@ -251,7 +253,8 @@ def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
     for b, mask_cur in enumerate(masks):
         mask_prev = masks[:b]
         slo, shi, srow, svalid, os_start, os_end, n_os = _prep_block(
-            pairs_dev, valid_dev, mlo=mask_cur[0], mhi=mask_cur[1], s=s)
+            pairs_dev, valid_dev, jnp.uint32(mask_cur[0]),
+            jnp.uint32(mask_cur[1]), s=s)
         tile_pairs: set[tuple[int, int]] = set()
         if int(n_os):
             starts = np.nonzero(np.asarray(os_start))[0]

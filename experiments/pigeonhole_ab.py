@@ -65,8 +65,8 @@ def main():
     for rep in range(2):
         b = rep  # block index: block1 has one dedup mask
         t0 = time.monotonic()
-        prep = ph._prep_block(pairs_dev, valid_dev,
-                              mlo=masks[b][0], mhi=masks[b][1], s=s)
+        prep = ph._prep_block(pairs_dev, valid_dev, jnp.uint32(masks[b][0]),
+                              jnp.uint32(masks[b][1]), s=s)
         slo, shi, srow, svalid, os_start, os_end, n_os = prep
         n_os_i = int(n_os)
         t1 = time.monotonic()
