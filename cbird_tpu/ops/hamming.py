@@ -483,10 +483,22 @@ class PackedHashStore:
         use_mxu = (mc.mxu_enabled(n_pad) and threshold < 64
                    and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0)
         if mesh is not None:
-            from ..parallel.sharded import sharded_self_count
-            counts = sharded_self_count(mesh, pairs_rep, valid_rep,
-                                        threshold, rows, cols,
-                                        use_mxu=use_mxu)[:n]
+            counts = None
+            from . import pigeonhole
+            if pigeonhole.enabled():
+                # same sorted count phase, chunks round-robined one per
+                # chip (replicated sorted arrays, per-chip local state,
+                # one psum per block)
+                ph = pigeonhole.self_counts(
+                    pairs_rep, valid_rep, threshold,
+                    int(np.count_nonzero(self._ids)), mesh=mesh)
+                if ph is not None:
+                    counts = ph[:n]
+            if counts is None:
+                from ..parallel.sharded import sharded_self_count
+                counts = sharded_self_count(mesh, pairs_rep, valid_rep,
+                                            threshold, rows, cols,
+                                            use_mxu=use_mxu)[:n]
         else:
             counts = None
             from . import pigeonhole

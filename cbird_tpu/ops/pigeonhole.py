@@ -7,10 +7,13 @@ T-1 of T disjoint bit-blocks, so it matches at least one block EXACTLY
 (pigeonhole).  Sorting the store by each block's bits makes every such
 pair land in the same equal-key run, so a banded scan over the sorted
 order (plus dense tiles for over-long runs) visits ~2·S·T pairs per row
-instead of N/2 — 51x fewer pair evaluations at 2M rows / t=5 (S=2048),
-15x at 10M (S=32768).  Measured on v5e (experiments/pigeonhole_ab.py,
-same-process warm, counts bit-identical): 2M t=5 count phase 1.09 s vs
-3.83 s for the classic MXU triangle (3.5x).
+instead of N/2 — ~120x fewer pair evaluations at 10M rows / t=5
+(S=4096).  Measured on v5e (experiments/pigeonhole_ab.py, same-process
+warm, counts bit-identical): 10M t=5 count phase 7.36 s vs 170.1 s for
+the classic MXU triangle (23x; band S sweep: 4096 → 7.4 s, 8192 →
+9.9 s, 32768 → 27 s); 2M 1.09 s vs 3.83 s (3.5x at the pre-sweep
+S=2048).  The sort is NOT the bottleneck: 10.5M rows sort in 0.42 s
+warm — the band scan dominates, so S (band pair count) is the knob.
 
 The reference's RadixMap (/root/reference/src/tree/radix.h:135-141) keys
 the low hash bits and accepts recall loss (`-p.vradix` trades recall for
@@ -131,16 +134,13 @@ def _hit_mask(x_lo, x_hi, t, mask_cur, mask_prev):
     return hit
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0,),
-    static_argnames=("mask_cur", "mask_prev", "s", "g", "t"))
-def _band_chunk(csort, slo, shi, srow, svalid, p0, *,
-                mask_cur, mask_prev, s, g, t):
+def _band_contrib(slo, shi, srow, svalid, p0, *, mask_cur, mask_prev, s, g, t):
     """Band scan of g tiles of s sorted rows: each tile is compared against
     its own rows (j > i) and the next tile (all pairs) in one fused
     [g, s, 2s] xor+popcount+mask+reduce block.  Row-side counts attribute
-    to the pair's smaller ORIGINAL store row; csort accumulates per sorted
-    position and is unsorted once per block (_unsort_add)."""
+    to the pair's smaller ORIGINAL store row.
+
+    @return contrib [g*s + s] int32 additions to csort[p0:]"""
     r = g * s
     a_lo = jax.lax.dynamic_slice(slo, (p0,), (r,)).reshape(g, s)
     a_hi = jax.lax.dynamic_slice(shi, (p0,), (r,)).reshape(g, s)
@@ -168,18 +168,31 @@ def _band_chunk(csort, slo, shi, srow, svalid, p0, *,
     contrib = jnp.zeros(r + s, jnp.int32)
     contrib = contrib.at[:r].add(row_ct + col_ct[:, :s].reshape(r))
     contrib = contrib.at[s:].add(col_ct[:, s:].reshape(r))
-    cur = jax.lax.dynamic_slice(csort, (p0,), (r + s,))
-    return jax.lax.dynamic_update_slice(csort, cur + contrib, (p0,))
+    return contrib
 
 
 @functools.partial(
     jax.jit, donate_argnums=(0,),
-    static_argnames=("mask_cur", "mask_prev", "s", "t"))
-def _run_tile(csort, slo, shi, srow, svalid, ra, ca, *,
-              mask_cur, mask_prev, s, t):
+    static_argnames=("mask_cur", "mask_prev", "s", "g", "t"))
+def _band_chunk(csort, slo, shi, srow, svalid, p0, *,
+                mask_cur, mask_prev, s, g, t):
+    """Single-device band step: apply _band_contrib in place; csort
+    accumulates per sorted position and is unsorted once per block
+    (_unsort_add)."""
+    r = g * s
+    contrib = _band_contrib(slo, shi, srow, svalid, p0, mask_cur=mask_cur,
+                            mask_prev=mask_prev, s=s, g=g, t=t)
+    cur = jax.lax.dynamic_slice(csort, (p0,), (r + s,))
+    return jax.lax.dynamic_update_slice(csort, cur + contrib, (p0,))
+
+
+def _run_contribs(slo, shi, srow, svalid, ra, ca, *, mask_cur, mask_prev,
+                  s, t):
     """One dense [s, s] tile for an oversized equal-key run: sorted rows
     [ra, ra+s) vs [ca, ca+s) with ca ≥ ra + 2s (disjoint from the band by
-    construction, so no pair is double counted)."""
+    construction, so no pair is double counted).
+
+    @return (row_ct [s], col_ct [s]) int32 additions to csort[ra:]/[ca:]"""
     a_lo = jax.lax.dynamic_slice(slo, (ra,), (s,))
     a_hi = jax.lax.dynamic_slice(shi, (ra,), (s,))
     a_row = jax.lax.dynamic_slice(srow, (ra,), (s,))
@@ -195,6 +208,18 @@ def _run_tile(csort, slo, shi, srow, svalid, ra, ca, *,
     att = a_row[:, None] < b_row[None, :]
     row_ct = (hit & att).sum(axis=1, dtype=jnp.int32)
     col_ct = (hit & ~att).sum(axis=0, dtype=jnp.int32)
+    return row_ct, col_ct
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("mask_cur", "mask_prev", "s", "t"))
+def _run_tile(csort, slo, shi, srow, svalid, ra, ca, *,
+              mask_cur, mask_prev, s, t):
+    """Single-device oversized-run step: apply _run_contribs in place."""
+    row_ct, col_ct = _run_contribs(slo, shi, srow, svalid, ra, ca,
+                                   mask_cur=mask_cur, mask_prev=mask_prev,
+                                   s=s, t=t)
     csort = jax.lax.dynamic_update_slice(
         csort, jax.lax.dynamic_slice(csort, (ra,), (s,)) + row_ct, (ra,))
     return jax.lax.dynamic_update_slice(
@@ -209,27 +234,37 @@ def _unsort_add(counts, csort, srow):
 
 
 def _pick_s(n_valid: int, n_pad: int, min_bits: int) -> int:
-    """Band half-width: smallest power-of-two tile that keeps the average
-    equal-key run well inside one tile (4x headroom for skew); 0 when even
-    the largest tile can't — the classic scan wins there."""
+    """Band half-width: smallest power-of-two tile ≥1.5x the average
+    equal-key run (band pairs scale with s, so smaller is faster: the 10M
+    t=5 sweep measured s=4096 → 7.4 s, 8192 → 9.9 s, 32768 → 27 s warm;
+    avg_run there was 2441).  Runs that overflow the band are still exact
+    via the dense run tiles; pathological skew hits the run budget and
+    falls back.  0 when even the largest tile can't hold the average run
+    — the classic scan wins there."""
     avg_run = max(1.0, n_valid / float(1 << min_bits))
-    for cand in (2048, 8192, 32768):
+    for cand in (1024, 2048, 4096, 8192, 16384, 32768):
         if cand > n_pad // 2:
             break
-        if cand >= 4 * avg_run:
+        if 2 * cand >= 3 * avg_run:
             return cand
     return 0
 
 
 def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
-                *, s: int = 0, g: int = 0) -> np.ndarray | None:
+                *, s: int = 0, g: int = 0, mesh=None) -> np.ndarray | None:
     """Exact later-store-row hit counts for every store row, or None when
     this store/threshold is out of the pigeonhole sweet spot (caller falls
     back to the classic triangular scan).
 
-    @param pairs_dev [N, 2] uint32 device array (single-device placement)
-    @param valid_dev [N] bool device array
+    @param pairs_dev [N, 2] uint32 device array (single-device placement,
+           or REPLICATED on ``mesh`` when one is given)
+    @param valid_dev [N] bool device array (same placement)
     @param n_valid   number of live (non-tombstone) rows, for run sizing
+    @param mesh      optional jax Mesh: band chunks and run tiles are
+           round-robined one-per-chip over replicated sorted arrays with
+           per-chip local state (no collectives inside a block; one psum
+           per block combines) — the same balance scheme as
+           parallel.sharded.sharded_self_count
     @return [N] int32 numpy counts (padded rows 0), or None
     """
     n_pad = int(pairs_dev.shape[0])
@@ -246,10 +281,20 @@ def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
     if not g:
         # ~0.5G band pairs per dispatch amortizes dispatch + mask overhead
         g = max(2, min(128, (1 << 29) // (2 * s * s)))
+    if mesh is not None:
+        devs = int(np.prod(mesh.devices.shape))
+        # every chip needs a chunk per step: cap g so there are ≥C chunks
+        g = max(1, min(g, n_pad // (s * devs) or 1))
     while n_pad % (g * s):
         g //= 2
     r = g * s
-    counts = jnp.zeros(n_pad + s, jnp.int32)
+    if mesh is not None:
+        from ..parallel import sharded as sh
+        pairs_dev, valid_dev = sh.ph_replicate(mesh, pairs_dev, valid_dev)
+        counts = sh.ph_replicate(
+            mesh, jnp.zeros(n_pad + s, jnp.int32))[0]
+    else:
+        counts = jnp.zeros(n_pad + s, jnp.int32)
     for b, mask_cur in enumerate(masks):
         mask_prev = masks[:b]
         slo, shi, srow, svalid, os_start, os_end, n_os = _prep_block(
@@ -268,15 +313,52 @@ def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
                     or len(tile_pairs) * s * s
                     > RUN_BUDGET_FRAC * n_valid * n_valid / 2):
                 return None  # degenerate key skew — classic path wins
-        csort = jnp.zeros(n_pad + s, jnp.int32)
-        for p0 in range(0, n_pad, r):
-            csort = _band_chunk(csort, slo, shi, srow, svalid,
-                                jnp.int32(p0), mask_cur=mask_cur,
-                                mask_prev=mask_prev, s=s, g=g, t=threshold)
-        for ta, tb in sorted(tile_pairs):
-            csort = _run_tile(csort, slo, shi, srow, svalid,
-                              jnp.int32(ta * s), jnp.int32(tb * s),
-                              mask_cur=mask_cur, mask_prev=mask_prev,
-                              s=s, t=threshold)
+        if mesh is not None:
+            csort = _sharded_block(mesh, slo, shi, srow, svalid,
+                                   sorted(tile_pairs), mask_cur, mask_prev,
+                                   n_pad, s, g, threshold)
+        else:
+            csort = jnp.zeros(n_pad + s, jnp.int32)
+            for p0 in range(0, n_pad, r):
+                csort = _band_chunk(csort, slo, shi, srow, svalid,
+                                    jnp.int32(p0), mask_cur=mask_cur,
+                                    mask_prev=mask_prev, s=s, g=g,
+                                    t=threshold)
+            for ta, tb in sorted(tile_pairs):
+                csort = _run_tile(csort, slo, shi, srow, svalid,
+                                  jnp.int32(ta * s), jnp.int32(tb * s),
+                                  mask_cur=mask_cur, mask_prev=mask_prev,
+                                  s=s, t=threshold)
         counts = _unsort_add(counts, csort, srow)
     return np.asarray(counts)[:n_pad]
+
+
+def _sharded_block(mesh, slo, shi, srow, svalid, tile_pairs, mask_cur,
+                   mask_prev, n_pad: int, s: int, g: int, t: int):
+    """One block's band + run scan over all mesh devices: chunk i → chip
+    i mod C, per-chip state rows, one psum at the end (ph_reduce_fn).
+
+    @return csort [n_pad + s] int32, replicated on the mesh"""
+    from ..parallel import sharded as sh
+    devs = int(np.prod(mesh.devices.shape))
+    r = g * s
+    state = sh.ph_state(mesh, n_pad + s)
+    vec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(tuple(mesh.axis_names)))
+    band = sh.ph_band_step_fn(mesh, mask_cur, mask_prev, s, g, t)
+    offs = list(range(0, n_pad, r))
+    for i in range(0, len(offs), devs):
+        p0 = np.full(devs, -1, np.int32)
+        chunk = offs[i:i + devs]
+        p0[:len(chunk)] = chunk
+        state = band(state, jax.device_put(p0, vec), slo, shi, srow, svalid)
+    if tile_pairs:
+        run = sh.ph_run_step_fn(mesh, mask_cur, mask_prev, s, t)
+        for i in range(0, len(tile_pairs), devs):
+            ra = np.full(devs, -1, np.int32)
+            ca = np.full(devs, 0, np.int32)
+            for j, (ta, tb) in enumerate(tile_pairs[i:i + devs]):
+                ra[j], ca[j] = ta * s, tb * s
+            state = run(state, jax.device_put(ra, vec),
+                        jax.device_put(ca, vec), slo, shi, srow, svalid)
+    return sh.ph_reduce_fn(mesh)(state)

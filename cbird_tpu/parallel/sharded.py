@@ -484,3 +484,109 @@ def sharded_self_count(mesh: Mesh, haystack_rep: jnp.ndarray,
         c, slot = i % devs, i // devs
         counts[rb:rb + rows] = host[c, slot * rows:(slot + 1) * rows]
     return counts
+
+
+# ---------------------------------------------------------------------------
+# pigeonhole-sorted N² count phase over all mesh devices (ops/pigeonhole.py)
+# ---------------------------------------------------------------------------
+
+_PH_STEP_CACHE: dict = {}
+
+
+def ph_band_step_fn(mesh: Mesh, mask_cur, mask_prev, s: int, g: int, t: int):
+    """Per-step program for the sharded pigeonhole band scan: every chip
+    processes one [g, s, 2s] band chunk of the REPLICATED sorted arrays at
+    its own offset and accumulates into its local row of the [C, n_pad+s]
+    per-sorted-position state (p0 < 0 = idle padding step).  Mirrors
+    _self_count_step_fn's no-collective design; one psum at block end
+    (ph_reduce_fn) combines the chips."""
+    key = ("band", mesh, mask_cur, mask_prev, s, g, t)
+    fn = _PH_STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from ..ops.pigeonhole import _band_contrib
+    ax = tuple(mesh.axis_names)
+    r = g * s
+
+    def run(st, p0, slo, shi, srow, svalid):
+        q0 = jnp.maximum(p0[0], 0)
+        contrib = _band_contrib(slo, shi, srow, svalid, q0,
+                                mask_cur=mask_cur, mask_prev=mask_prev,
+                                s=s, g=g, t=t)
+        contrib *= (p0[0] >= 0).astype(jnp.int32)
+        seg = jax.lax.dynamic_slice(st, (0, q0), (1, r + s))
+        return jax.lax.dynamic_update_slice(st, seg + contrib[None], (0, q0))
+
+    sm = shard_map(run, mesh=mesh,
+                   in_specs=(P(ax, None), P(ax), P(), P(), P(), P()),
+                   out_specs=P(ax, None), check_vma=False)
+    fn = jax.jit(sm, donate_argnums=(0,))
+    _PH_STEP_CACHE[key] = fn
+    return fn
+
+
+def ph_run_step_fn(mesh: Mesh, mask_cur, mask_prev, s: int, t: int):
+    """Per-step program for the sharded oversized-run tiles: every chip
+    processes one dense [s, s] tile (ra < 0 = idle)."""
+    key = ("run", mesh, mask_cur, mask_prev, s, t)
+    fn = _PH_STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from ..ops.pigeonhole import _run_contribs
+    ax = tuple(mesh.axis_names)
+
+    def run(st, ra, ca, slo, shi, srow, svalid):
+        qa = jnp.maximum(ra[0], 0)
+        qc = jnp.maximum(ca[0], 0)
+        row_ct, col_ct = _run_contribs(slo, shi, srow, svalid, qa, qc,
+                                       mask_cur=mask_cur,
+                                       mask_prev=mask_prev, s=s, t=t)
+        live = (ra[0] >= 0).astype(jnp.int32)
+        row_ct *= live
+        col_ct *= live
+        seg = jax.lax.dynamic_slice(st, (0, qa), (1, s))
+        st = jax.lax.dynamic_update_slice(st, seg + row_ct[None], (0, qa))
+        seg = jax.lax.dynamic_slice(st, (0, qc), (1, s))
+        return jax.lax.dynamic_update_slice(st, seg + col_ct[None], (0, qc))
+
+    sm = shard_map(run, mesh=mesh,
+                   in_specs=(P(ax, None), P(ax), P(ax), P(), P(), P(), P()),
+                   out_specs=P(ax, None), check_vma=False)
+    fn = jax.jit(sm, donate_argnums=(0,))
+    _PH_STEP_CACHE[key] = fn
+    return fn
+
+
+def ph_reduce_fn(mesh: Mesh):
+    """Combine the per-chip pigeonhole states: one psum over all mesh axes
+    → the block's replicated csort vector."""
+    key = ("reduce", mesh)
+    fn = _PH_STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    ax = tuple(mesh.axis_names)
+
+    def run(st):
+        acc = jax.lax.psum(st[0], ax[0])
+        return jax.lax.psum(acc, ax[1]) if len(ax) > 1 else acc
+
+    sm = shard_map(run, mesh=mesh, in_specs=(P(ax, None),), out_specs=P(),
+                   check_vma=False)
+    fn = jax.jit(sm, donate_argnums=(0,))
+    _PH_STEP_CACHE[key] = fn
+    return fn
+
+
+def ph_state(mesh: Mesh, m: int):
+    """Fresh per-chip [C, m] int32 state, one row per device."""
+    devs = int(np.prod(mesh.devices.shape))
+    ax = tuple(mesh.axis_names)
+    return jax.device_put(np.zeros((devs, m), np.int32),
+                          NamedSharding(mesh, P(ax, None)))
+
+
+def ph_replicate(mesh: Mesh, *arrays):
+    """Commit arrays fully-replicated on the mesh (pigeonhole's sorted
+    operands are read by every chip)."""
+    sh = NamedSharding(mesh, P())
+    return tuple(jax.device_put(a, sh) for a in arrays)

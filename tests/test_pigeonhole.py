@@ -146,3 +146,61 @@ def test_search_self_routes_pigeonhole(rng, monkeypatch):
             assert np.array_equal(ri, ti) and np.array_equal(rd, td), row
     assert 5 + 1 in tri[2900][0] and 2900 + 1 in tri[5][0]
     assert 2950 + 1 in tri[10][0] or 10 + 1 in tri[2950][0]
+
+
+# --- sharded (CPU-mesh) path -----------------------------------------------
+
+
+def test_sharded_counts_match_golden(rng):
+    """self_counts over the 8-virtual-device CPU mesh == the numpy golden,
+    including an oversized equal-key cluster so the sharded run-tile step
+    (ph_run_step_fn) executes, not just the band."""
+    from cbird_tpu.parallel.sharded import make_mesh
+    mesh = make_mesh()
+    n = 8192
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    base = int(hashes[0])
+    idx = rng.choice(n, size=1200, replace=False)
+    for i in idx:
+        h = base
+        for b in rng.choice(64, size=int(rng.integers(0, 3)), replace=False):
+            h ^= 1 << int(b)
+        hashes[i] = np.uint64(h)
+    valid = np.ones(n, bool)
+    valid[rng.choice(n, size=300, replace=False)] = False
+    got = pigeonhole.self_counts(
+        jnp.asarray(split_u64(hashes)), jnp.asarray(valid), 5,
+        int(valid.sum()), s=256, mesh=mesh)
+    assert got is not None
+    np.testing.assert_array_equal(got, _golden_counts(hashes, valid, 5))
+
+
+def test_search_self_sharded_routes_pigeonhole(rng, monkeypatch):
+    """Mesh-mode search_self takes the sharded pigeonhole count phase and
+    returns exactly what the plain two-phase search returns."""
+    from cbird_tpu.ops import hamming
+    monkeypatch.setattr(pigeonhole, "MIN_STORE", 1024)
+    calls = []
+    real = pigeonhole.self_counts
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        calls.append(kw.get("mesh") is not None and out is not None)
+        return out
+
+    monkeypatch.setattr(pigeonhole, "self_counts", spy)
+    n = 3000
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
+        hashes[dst] = hashes[src] ^ np.uint64(1 << int(rng.integers(0, 64)))
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+    store = PackedHashStore(hashes, ids)
+    assert hamming._search_mesh() is not None, "conftest mesh expected"
+    ref = store.search(hashes, 5, k=64, min_hits=2)
+    tri = store.search_self(5, k=64, min_n=0)
+    assert calls == [True], "sharded pigeonhole path was not taken"
+    for row, ((ri, rd), (ti, td)) in enumerate(zip(ref, tri)):
+        if len(ri) <= 1:
+            assert len(ti) == 0 or np.array_equal(ri, ti), row
+        else:
+            assert np.array_equal(ri, ti) and np.array_equal(rd, td), row
