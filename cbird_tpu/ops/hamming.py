@@ -21,6 +21,7 @@ every top-k.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -484,6 +485,7 @@ class PackedHashStore:
                    and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0)
         if mesh is not None:
             counts = None
+            used_ph = False  # extraction is single-device-only
             from . import pigeonhole
             if pigeonhole.enabled():
                 # same sorted count phase, chunks round-robined one per
@@ -512,6 +514,7 @@ class PackedHashStore:
                     int(np.count_nonzero(self._ids)))
                 if ph is not None:
                     counts = ph[:n]
+            used_ph = counts is not None
             if counts is None:
                 counts = self._classic_self_counts(
                     pairs_dev, valid_dev, threshold, n_pad, rows, cols,
@@ -522,8 +525,29 @@ class PackedHashStore:
         if len(hot) == 0:
             return results
         needles = split_u64(self._hashes)
-        self._topk_phase(needles, hot, results, pairs_dev, valid_dev,
-                         threshold, k, needle_batch, recall=0.999)
+        scan_rows = hot
+        if (mesh is None and used_ph
+                and os.environ.get("CBIRD_PH_EXTRACT", "off").lower()
+                in ("on", "1", "yes")):
+            # OPT-IN (measured negative, kept as a worked example): windowed
+            # hit extraction from the pigeonhole sorted orders visits
+            # ~T·2s candidates per hot needle instead of a full N rescan,
+            # but the [B, 2s+1] random gathers run far below the streaming
+            # scan rate — 10M/t=5 same-process A/B: 67.5 s vs 14.1 s with
+            # the plain rescan (experiments/ph_extract_ab.py).  Exact-count
+            # verification below backstops it regardless.
+            ext = pigeonhole.extract_hits(pairs_dev, valid_dev, threshold,
+                                          hot, int(np.count_nonzero(
+                                              self._ids)), k)
+            if ext is not None:
+                hits, scan_rows = ext
+                for row, (rr, dd) in hits.items():
+                    if len(rr):
+                        results[row] = (self._ids[rr], dd)
+        if len(scan_rows):
+            self._topk_phase(needles, scan_rows, results, pairs_dev,
+                             valid_dev, threshold, k, needle_batch,
+                             recall=0.999)
         # Saturation escalation: a hot needle whose list filled to k may
         # have truncated hits, and a dropped (i, j) pair would make the
         # mirror below silently lose j's only match.  Rescan saturated
@@ -728,12 +752,17 @@ class PackedHashStore:
             r_idx, c_idx = np.nonzero(hit)
             if len(r_idx) == 0:
                 continue
-            ids_flat = self._ids[i[r_idx, c_idx]]
+            rows_flat = i[r_idx, c_idx]
+            ids_flat = self._ids[rows_flat]
             d_flat = d[r_idx, c_idx]
             uniq, starts = np.unique(r_idx, return_index=True)
             bounds = np.append(starts[1:], len(r_idx))
             for u, s0, s1 in zip(uniq, starts, bounds):
-                results[sel[u]] = (ids_flat[s0:s1], d_flat[s0:s1])
+                # deterministic tie order (dist, store row): approx_min_k's
+                # own tie order varies, and the pigeonhole extraction path
+                # must return bit-identical lists
+                o = np.lexsort((rows_flat[s0:s1], d_flat[s0:s1]))
+                results[sel[u]] = (ids_flat[s0:s1][o], d_flat[s0:s1][o])
         return results
 
 

@@ -242,7 +242,7 @@ def _pick_s(n_valid: int, n_pad: int, min_bits: int) -> int:
     falls back.  0 when even the largest tile can't hold the average run
     — the classic scan wins there."""
     avg_run = max(1.0, n_valid / float(1 << min_bits))
-    for cand in (1024, 2048, 4096, 8192, 16384, 32768):
+    for cand in (1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072):
         if cand > n_pad // 2:
             break
         if 2 * cand >= 3 * avg_run:
@@ -331,6 +331,154 @@ def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
                                   s=s, t=threshold)
         counts = _unsort_add(counts, csort, srow)
     return np.asarray(counts)[:n_pad]
+
+
+@functools.partial(jax.jit, static_argnames=("s", "mask_cur", "mask_prev",
+                                             "t", "kx"))
+def _window_hits(pairs, nrows, pos, slo, shi, srow, svalid, *,
+                 s, mask_cur, mask_prev, t, kx):
+    """Per hot needle: the kx best (by distance) of the 2s+1 sorted
+    positions around its own position in one block's order, first-equal-
+    block masked (each qualifying pair surfaces in exactly ONE block
+    across the T calls, so the cross-block union needs no dedup).
+    Self-pairs (xor 0) surface in block 0.  kx ≤ 2s+1 is lossless for
+    needles outside oversized runs: a block's hits all lie inside one
+    equal-key run of ≤ s+1 rows.
+
+    @param nrows [B] int32 store rows of the needles (invalid pad = -1)
+    @param pos   [B] int32 sorted positions of those rows in THIS block
+    @return (d [B, kx] int32, 127 on non-hits, ascending; rows [B, kx])
+    """
+    L = 2 * s + 1
+    w0 = jnp.clip(pos - s, 0, slo.shape[0] - L)
+    idx = w0[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    c_lo = jnp.take(slo, idx)
+    c_hi = jnp.take(shi, idx)
+    c_row = jnp.take(srow, idx)
+    c_v = jnp.take(svalid, idx)
+    n_lo = pairs[jnp.maximum(nrows, 0), 0]
+    n_hi = pairs[jnp.maximum(nrows, 0), 1]
+    x_lo = n_lo[:, None] ^ c_lo
+    x_hi = n_hi[:, None] ^ c_hi
+    hit = _hit_mask(x_lo, x_hi, t, mask_cur, mask_prev)
+    hit &= c_v & (nrows >= 0)[:, None]
+    d = (jax.lax.population_count(x_lo)
+         + jax.lax.population_count(x_hi)).astype(jnp.int32)
+    d = jnp.where(hit, d, jnp.int32(127))
+    neg, top = jax.lax.top_k(-d, kx)
+    return -neg, jnp.take_along_axis(c_row, top, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("kx",))
+def _merge_block_hits(ds, rows, *, kx):
+    """Union the per-block top candidates and keep the kx best by
+    distance (ties resolved on host by store row after readback)."""
+    d_all = jnp.concatenate(ds, axis=1)
+    r_all = jnp.concatenate(rows, axis=1)
+    neg, idx = jax.lax.top_k(-d_all, kx)
+    return -neg, jnp.take_along_axis(r_all, idx, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _inverse_perm(srow, *, s):
+    """pos[row] = sorted position (the first n_pad srow entries are the
+    full permutation; the trailing s pad slots are ignored)."""
+    n_pad = srow.shape[0] - s
+    return jnp.zeros(n_pad, jnp.int32).at[srow[:n_pad]].set(
+        jnp.arange(n_pad, dtype=jnp.int32), unique_indices=True)
+
+
+def extract_hits(pairs_dev, valid_dev, threshold: int, hot: np.ndarray,
+                 n_valid: int, k: int, *, s: int = 0,
+                 needle_batch: int = 4096):
+    """All sub-threshold partners of each hot store row, extracted from the
+    pigeonhole sorted orders instead of rescanning the whole store: a
+    pair's first-equal-block keeps it inside one equal-key run, so its
+    partner sits within ±s sorted positions — a [B, T(2s+1)] windowed
+    gather+popcount visits ~T·2s candidates per needle instead of N
+    (10M/40k hot: ~1.6G pairs vs 420G for the full rescan).
+
+    MEASURED NEGATIVE on a real v5e (2026-08-19, experiments/
+    ph_extract_ab.py): despite 260x fewer pair evaluations, store-level
+    search_self ran 67.5 s vs 14.1 s (10M/t=5) and 2.95 s vs 1.68 s
+    (2M/t=5) in same-process warm A/Bs, results identical.  The [B, 2s+1]
+    windowed random gathers over the sorted copies (plus one full re-sort
+    + inverse-perm scatter per block) run far below the ~450G pairs/s
+    streaming rate of the plain hot-needle rescan, and at realistic hot
+    fractions (~0.2-0.4%) the rescan is only a few seconds to begin with.
+    Kept as an opt-in (CBIRD_PH_EXTRACT=on) worked example; the exact
+    counts verify it end-to-end.
+
+    Needles inside an OVERSIZED equal-key run (partner may sit farther
+    than s positions) are returned for rescan instead of risking a miss;
+    search_self's exact-count verification backstops everything else.
+
+    @param hot sorted array of hot store rows
+    @return (hits, rescan): hits[row] = (store_rows [m], dists [m]) sorted
+            by (dist, row) INCLUDING the self-pair, for rows not in
+            rescan; rescan = np.ndarray of rows needing the classic scan.
+            None when this store/threshold is out of the sweet spot.
+    """
+    n_pad = int(pairs_dev.shape[0])
+    if not (1 <= threshold <= MAX_THRESHOLD) or n_pad < MIN_STORE:
+        return None
+    masks = block_masks(threshold)
+    if not s:
+        s = _pick_s(n_valid, n_pad, 64 // threshold)
+        if not s:
+            return None
+    s = min(s, n_pad // 2)
+    kx = min(max(64, k), n_pad)
+    kb = min(kx, 2 * s + 1)  # per-block top: lossless, block hits ≤ s+1
+    hot = np.asarray(hot)
+    hot_dev = jnp.asarray(hot.astype(np.int32))
+    rescan_mask = np.zeros(len(hot), bool)
+    B = needle_batch if len(hot) > needle_batch else max(
+        64, 1 << max(len(hot) - 1, 1).bit_length())
+    chunk_offs = list(range(0, len(hot), B))
+    stash: list[list] = [[] for _ in chunk_offs]
+    t = threshold
+    # blocks outer so only ONE sorted copy is HBM-resident at a time (the
+    # per-chunk per-block [B, kb] tops are tiny); scales to 100M+ rows
+    for b, mask_cur in enumerate(masks):
+        slo, shi, srow, svalid, os_start, os_end, n_os = _prep_block(
+            pairs_dev, valid_dev, jnp.uint32(mask_cur[0]),
+            jnp.uint32(mask_cur[1]), s=s)
+        pos = jnp.take(_inverse_perm(srow, s=s), hot_dev)
+        pos_pad = jnp.pad(pos, (0, B))
+        if int(n_os):
+            # flag hot needles inside an oversized run: their partners can
+            # sit beyond the ±s window in this block's order
+            starts = np.nonzero(np.asarray(os_start))[0]
+            ends = np.nonzero(np.asarray(os_end))[0] + s
+            ph = np.asarray(pos)
+            for st, en in zip(starts, ends):
+                rescan_mask |= (ph >= st) & (ph <= en)
+        for ci, c0 in enumerate(chunk_offs):
+            rows_c = hot[c0:c0 + B]
+            nrows = np.full(B, -1, np.int32)
+            nrows[:len(rows_c)] = rows_c
+            posc = jax.lax.dynamic_slice(pos_pad, (c0,), (B,))
+            d, r = _window_hits(pairs_dev, jnp.asarray(nrows), posc, slo,
+                                shi, srow, svalid, s=s, mask_cur=mask_cur,
+                                mask_prev=masks[:b], t=t, kx=kb)
+            stash[ci].append((d, r))
+    hits: dict = {}
+    pending = [(c0, _merge_block_hits([d for d, _ in st], [r for _, r in st],
+                                      kx=kx) if len(st) > 1 else st[0])
+               for c0, st in zip(chunk_offs, stash)]
+    for c0, (d_top, r_top) in pending:
+        rows_c = hot[c0:c0 + B]
+        d_top = np.asarray(d_top)[:len(rows_c)]
+        r_top = np.asarray(r_top)[:len(rows_c)]
+        for j, row in enumerate(rows_c):
+            if rescan_mask[c0 + j]:
+                continue
+            m = d_top[j] < t
+            dd, rr = d_top[j][m], r_top[j][m]
+            order = np.lexsort((rr, dd))
+            hits[int(row)] = (rr[order], dd[order])
+    return hits, hot[np.nonzero(rescan_mask)[0]]
 
 
 def _sharded_block(mesh, slo, shi, srow, svalid, tile_pairs, mask_cur,

@@ -148,6 +148,83 @@ def test_search_self_routes_pigeonhole(rng, monkeypatch):
     assert 2950 + 1 in tri[10][0] or 10 + 1 in tri[2950][0]
 
 
+def _golden_hits(hashes, valid, t, row):
+    """All partners j != row with d < t (both valid), sorted by (d, j)."""
+    x = hashes ^ hashes[row]
+    d = np.zeros(x.shape, np.int32)
+    for shift in range(0, 64, 8):
+        d += np.unpackbits(
+            ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)
+        ).reshape(*x.shape, 8).sum(axis=-1, dtype=np.int32)
+    j = np.nonzero((d < t) & valid)[0]
+    order = np.lexsort((j, d[j]))
+    return j[order], d[j][order]
+
+
+@pytest.mark.parametrize("t", [1, 5, 8])
+def test_extract_hits_match_golden(rng, t):
+    n = 4096
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
+        h = int(hashes[src])
+        for b in rng.choice(64, size=int(rng.integers(0, t)), replace=False):
+            h ^= 1 << int(b)
+        hashes[dst] = np.uint64(h)
+    hashes[7] = hashes[8]
+    valid = np.ones(n, bool)
+    valid[rng.choice(n, size=200, replace=False)] = False
+    valid[[5, 7, 8, 10, 100, 101, 2900, 2950]] = True
+    pairs = jnp.asarray(split_u64(hashes))
+    hot = np.nonzero(_golden_counts(hashes, valid, t) > 0)[0]
+    if not len(hot):
+        pytest.skip("rng produced no planted pair under t")
+    out = pigeonhole.extract_hits(pairs, jnp.asarray(valid), t, hot,
+                                  int(valid.sum()), k=64, s=256)
+    assert out is not None
+    hits, rescan = out
+    assert not len(rescan)
+    for row in hot:
+        gj, gd = _golden_hits(hashes, valid, t, int(row))
+        rr, dd = hits[int(row)]
+        np.testing.assert_array_equal(rr, gj, err_msg=f"row {row}")
+        np.testing.assert_array_equal(dd, gd, err_msg=f"row {row}")
+
+
+def test_extract_hits_oversized_run_rescans(rng):
+    """Needles inside an equal-key run longer than the band must be handed
+    back for the classic rescan (their partner can sit beyond ±s)."""
+    n = 4096
+    s = 256
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    base = int(hashes[0])
+    idx = rng.choice(n, size=1000, replace=False)
+    for i in idx:
+        h = base
+        for b in rng.choice(64, size=int(rng.integers(0, 3)), replace=False):
+            h ^= 1 << int(b)
+        hashes[i] = np.uint64(h)
+    valid = np.ones(n, bool)
+    hot = np.nonzero(_golden_counts(hashes, valid, 5) > 0)[0]
+    out = pigeonhole.extract_hits(jnp.asarray(split_u64(hashes)),
+                                  jnp.asarray(valid), 5, hot,
+                                  int(valid.sum()), k=64, s=s)
+    assert out is not None
+    hits, rescan = out
+    rescan_set = set(int(r) for r in rescan)
+    # every cluster member whose run overflows the band must be rescanned
+    assert rescan_set, "giant cluster should flag oversized-run needles"
+    # extracted needles must still be exact
+    for row in hot:
+        if int(row) in rescan_set:
+            continue
+        gj, gd = _golden_hits(hashes, valid, 5, int(row))
+        rr, dd = hits[int(row)]
+        if len(gj) > 64:
+            continue  # k-capped list: prefix only
+        np.testing.assert_array_equal(rr, gj, err_msg=f"row {row}")
+        np.testing.assert_array_equal(dd, gd, err_msg=f"row {row}")
+
+
 # --- sharded (CPU-mesh) path -----------------------------------------------
 
 
