@@ -42,7 +42,7 @@ def _chunk_dists(n_lo, n_hi, h_lo, h_hi):
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "recall"))
 def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
-                 valid: jnp.ndarray, k: int = 64, chunk: int = 1 << 21,
+                 valid: jnp.ndarray, k: int = 64, chunk: int = 1 << 27,
                  recall: float = 0.99):
     """Per-needle k nearest haystack rows by Hamming distance.
 
@@ -53,6 +53,14 @@ def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
            because its mirror completion gets only ONE scan per pair
     @return (dists [Q, k] int32 ascending, indices [Q, k] int32);
             missing entries have distance BAD_DIST
+
+    chunk: ONE approx_min_k block for any store up to 2^27 rows — XLA
+    fuses the xor+popcount producer into the PartialReduce, so the
+    distance matrix never materializes and scan steps only add overhead.
+    2026-08-19 sweep at [1024 x 10.5M] warm, same process
+    (experiments/topk_batch_ab.py): chunk 2^21 4.27 s / 2^22 2.67 s /
+    2^23 2.02 s / single block 1.57 s for 10 batches; wider needle
+    batches LOSE (qb=4096 ~20% slower than 1024 at every chunk).
     """
     q = needles.shape[0]
     n = haystack.shape[0]
@@ -256,6 +264,7 @@ class PackedHashStore:
         # bitwidth changes hit Mosaic's minor-tiling limit, so validity
         # crosses the boundary as int32)
         self._mxu_v32 = None
+        self._id_rows = None  # (sorted_ids, rows_sorted) id→row cache
         if hashes is not None and len(hashes):
             self._hashes = np.asarray(hashes, dtype=np.uint64).copy()
             self._ids = np.asarray(ids, dtype=np.uint32).copy()
@@ -283,6 +292,7 @@ class PackedHashStore:
         self._dev = None
         self._dev_rep = None
         self._mxu_v32 = None
+        self._id_rows = None
 
     def remove(self, ids) -> None:
         """Tombstone by media id (reference zeroes id+hash, keeps the slot)."""
@@ -295,6 +305,7 @@ class PackedHashStore:
             self._dev = None
             self._dev_rep = None
             self._mxu_v32 = None
+            self._id_rows = None
 
     def slice(self, media_ids) -> "PackedHashStore":
         keep = np.isin(self._ids, np.asarray(list(media_ids), dtype=np.uint32))
@@ -483,45 +494,56 @@ class PackedHashStore:
         # narrowest column block either branch dispatches
         use_mxu = (mc.mxu_enabled(n_pad) and threshold < 64
                    and rows % mc.BQ == 0 and cols % mc.BC_MASKED == 0)
+        from ..utils.log import profile_stage
+        # hot = store rows with ≥1 neighbor at a LATER row; hot_counts =
+        # their exact later-row hit counts (the verify invariant below).
+        # The count phase reads back only these (a packed nonzero bitmask
+        # + one gather) — never the full [N] int32 counts array, which
+        # costs seconds through the axon tunnel at 10M rows.
+        hot = hot_counts = None
+        from . import pigeonhole
         if mesh is not None:
-            counts = None
             used_ph = False  # extraction is single-device-only
-            from . import pigeonhole
             if pigeonhole.enabled():
                 # same sorted count phase, chunks round-robined one per
                 # chip (replicated sorted arrays, per-chip local state,
                 # one psum per block)
-                ph = pigeonhole.self_counts(
+                sp = pigeonhole.self_counts_sparse(
                     pairs_rep, valid_rep, threshold,
                     int(np.count_nonzero(self._ids)), mesh=mesh)
-                if ph is not None:
-                    counts = ph[:n]
-            if counts is None:
+                if sp is not None:
+                    hot, hot_counts = sp
+            if hot is None:
                 from ..parallel.sharded import sharded_self_count
                 counts = sharded_self_count(mesh, pairs_rep, valid_rep,
                                             threshold, rows, cols,
                                             use_mxu=use_mxu)[:n]
+                hot = np.nonzero(counts >= 1)[0]
+                hot_counts = counts[hot]
         else:
-            counts = None
-            from . import pigeonhole
             if pigeonhole.enabled():
                 # pigeonhole sorted count phase: 15-51x fewer pair
                 # evaluations than the triangle at small thresholds, 3.5x
                 # measured at 2M/t=5 (falls back None outside its sweet
                 # spot — see ops/pigeonhole.py)
-                ph = pigeonhole.self_counts(
-                    pairs_dev, valid_dev, threshold,
-                    int(np.count_nonzero(self._ids)))
-                if ph is not None:
-                    counts = ph[:n]
-            used_ph = counts is not None
-            if counts is None:
-                counts = self._classic_self_counts(
-                    pairs_dev, valid_dev, threshold, n_pad, rows, cols,
-                    use_mxu)
+                with profile_stage("self_search count (pigeonhole)"):
+                    sp = pigeonhole.self_counts_sparse(
+                        pairs_dev, valid_dev, threshold,
+                        int(np.count_nonzero(self._ids)))
+                if sp is not None:
+                    hot, hot_counts = sp
+            used_ph = hot is not None
+            if hot is None:
+                with profile_stage("self_search count (classic)"):
+                    counts = self._classic_self_counts(
+                        pairs_dev, valid_dev, threshold, n_pad, rows, cols,
+                        use_mxu)
+                hot = np.nonzero(counts >= 1)[0]
+                hot_counts = counts[hot]
+        hot = hot[hot < n]  # bucket padding rows are never truly hot
+        hot_counts = hot_counts[:len(hot)]
         empty = (np.zeros(0, np.uint32), np.zeros(0, np.int32))
         results: list = [empty] * n
-        hot = np.nonzero(counts >= 1)[0]  # ≥1 neighbor at a LATER row
         if len(hot) == 0:
             return results
         needles = split_u64(self._hashes)
@@ -545,9 +567,10 @@ class PackedHashStore:
                     if len(rr):
                         results[row] = (self._ids[rr], dd)
         if len(scan_rows):
-            self._topk_phase(needles, scan_rows, results, pairs_dev,
-                             valid_dev, threshold, k, needle_batch,
-                             recall=0.999)
+            with profile_stage(f"self_search topk ({len(scan_rows)} hot)"):
+                self._topk_phase(needles, scan_rows, results, pairs_dev,
+                                 valid_dev, threshold, k, needle_batch,
+                                 recall=0.999)
         # Saturation escalation: a hot needle whose list filled to k may
         # have truncated hits, and a dropped (i, j) pair would make the
         # mirror below silently lose j's only match.  Rescan saturated
@@ -558,35 +581,40 @@ class PackedHashStore:
         pathological = False
         while sat and kk < n:
             kk = min(kk * 4, n, 1 << 16)
-            self._topk_phase(needles, np.asarray(sat), results, pairs_dev,
-                             valid_dev, threshold, kk, needle_batch,
-                             recall=0.999)
+            with profile_stage(f"self_search saturation ({len(sat)})"):
+                self._topk_phase(needles, np.asarray(sat), results,
+                                 pairs_dev, valid_dev, threshold, kk,
+                                 needle_batch, recall=0.999)
             sat = [i for i in sat if len(results[i][0]) >= kk]
             if sat and kk >= 1 << 16:
                 pathological = True  # >65536-member duplicate cluster
                 break
         if not pathological:
             # Exact-recall invariant: the count phase is exact, so
-            # counts[i] is the true number of later-row hits for needle i;
-            # the 0.999-recall approx scan can still drop one, and a
-            # dropped (i, j) pair silently loses j's only match after
-            # mirroring.  Verify per hot needle (distances are exact, so
-            # the scan can only MISS, never fabricate) and rescan
-            # mismatches with the exact sort.
-            bad = hot[self._later_row_hits(hot, results) < counts[hot]]
-            kk2 = kk
-            while len(bad):
-                self._topk_phase(needles, bad, results, pairs_dev,
-                                 valid_dev, threshold, kk2, needle_batch,
-                                 recall=1.0)
-                bad = bad[self._later_row_hits(bad, results) < counts[bad]]
-                if not len(bad) or kk2 >= min(n, 1 << 16):
-                    break  # exact scan still short: list capped at kk2
-                kk2 = min(kk2 * 4, n, 1 << 16)
+            # hot_counts[i] is the true number of later-row hits for hot
+            # needle i; the 0.999-recall approx scan can still drop one,
+            # and a dropped (i, j) pair silently loses j's only match
+            # after mirroring.  Verify per hot needle (distances are
+            # exact, so the scan can only MISS, never fabricate) and
+            # rescan mismatches with the exact sort.
+            with profile_stage("self_search verify"):
+                bad_ix = np.nonzero(
+                    self._later_row_hits(hot, results) < hot_counts)[0]
+                kk2 = kk
+                while len(bad_ix):
+                    bad = hot[bad_ix]
+                    self._topk_phase(needles, bad, results, pairs_dev,
+                                     valid_dev, threshold, kk2,
+                                     needle_batch, recall=1.0)
+                    bad_ix = bad_ix[self._later_row_hits(bad, results)
+                                    < hot_counts[bad_ix]]
+                    if not len(bad_ix) or kk2 >= min(n, 1 << 16):
+                        break  # exact scan still short: list capped at kk2
+                    kk2 = min(kk2 * 4, n, 1 << 16)
         if pathological:
             # complete source lists are off the table — run the plain
             # two-phase search for every row the triangle never scanned
-            cold = np.nonzero(counts == 0)[0]
+            cold = np.setdiff1d(np.arange(n, dtype=np.int64), hot)
             for r, res in zip(cold, self.search(
                     self._hashes[cold], threshold, k=k, min_hits=2)):
                 ids, ds = res
@@ -595,7 +623,8 @@ class PackedHashStore:
                     res = (ids[:0], ds[:0])
                 results[r] = res
         else:
-            mirrored_rows = self._mirror_self_matches(results, hot, k)
+            with profile_stage("self_search mirror"):
+                mirrored_rows = self._mirror_self_matches(results, hot, k)
         for i in hot:  # restore the caller's k cap after escalation
             ids, ds = results[i]
             if len(ids) > k:
@@ -655,12 +684,9 @@ class PackedHashStore:
         whose store row is > i} — compared against the exact count phase
         to detect approx_min_k recall misses (search_self invariant)."""
         out = np.zeros(len(needle_rows), np.int64)
-        valid_rows = np.nonzero(self._ids)[0]
-        if not len(valid_rows):
+        sorted_ids, rows_sorted = self._sorted_id_rows()
+        if not len(sorted_ids):
             return out.astype(np.int32)
-        order = np.argsort(self._ids[valid_rows])
-        sorted_ids = self._ids[valid_rows][order]
-        rows_sorted = valid_rows[order]
         src_parts, id_parts = [], []
         for j, i in enumerate(needle_rows):
             ids = results[i][0]
@@ -678,6 +704,17 @@ class PackedHashStore:
             (tgt > np.asarray(needle_rows, np.int64)[src])
         np.add.at(out, src[good], 1)
         return out.astype(np.int32)
+
+    def _sorted_id_rows(self):
+        """(sorted_ids, rows_sorted) for vectorized id→store-row lookups,
+        cached until the next add/remove (a fresh 10M-row argsort costs
+        ~1 s of host time per search_self verify/mirror pass)."""
+        if self._id_rows is None:
+            valid_rows = np.nonzero(self._ids)[0]
+            order = np.argsort(self._ids[valid_rows])
+            self._id_rows = (self._ids[valid_rows][order],
+                             valid_rows[order])
+        return self._id_rows
 
     def _mirror_self_matches(self, results, hot, k):
         """Self-search completion: for every hit (i, j) of a row-hot needle
@@ -699,10 +736,7 @@ class PackedHashStore:
         hit_ids = np.concatenate(id_parts)
         d = np.concatenate(d_parts)
         # id → store row (vectorized; rows with id 0 are tombstones)
-        valid_rows = np.nonzero(self._ids)[0]
-        order = np.argsort(self._ids[valid_rows])
-        sorted_ids = self._ids[valid_rows][order]
-        rows_sorted = valid_rows[order]
+        sorted_ids, rows_sorted = self._sorted_id_rows()
         pos = np.clip(np.searchsorted(sorted_ids, hit_ids),
                       0, max(len(sorted_ids) - 1, 0))
         tgt = rows_sorted[pos]

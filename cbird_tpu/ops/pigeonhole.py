@@ -80,30 +80,103 @@ def block_masks(threshold: int) -> tuple[tuple[int, int], ...]:
     return tuple((int(lo), int(hi)) for lo, hi in masks)
 
 
-@functools.partial(jax.jit, static_argnames=("s",))
-def _prep_block(pairs, valid, cmlo, cmhi, *, s):
-    """Sort the store by one block's masked bits.  The block masks are
-    TRACED u32 scalars so all T blocks share one compiled sort program
-    (the band kernels keep static masks — there the per-block dedup-mask
-    count changes the op mix, here the masked-key compute is identical).
+def _run_stats(slo, shi, svalid, cmlo, cmhi):
+    sklo = jnp.where(svalid, slo & cmlo, _U32)
+    skhi = jnp.where(svalid, shi & cmhi, _U32)
+    change = jnp.concatenate([
+        jnp.ones(1, bool), (sklo[1:] != sklo[:-1]) | (skhi[1:] != skhi[:-1])])
+    return (change & svalid).sum(dtype=jnp.int32)
 
-    @return (slo, shi, srow, svalid) padded to [N+s] (pad rows invalid),
-            plus oversized-run boundary masks: os_start [N-s] (position i
-            starts a run longer than s+1), os_end [N-s] (position i+s ends
-            one), and n_os (scalar count of oversized runs).
-    """
+
+@functools.lru_cache(maxsize=None)
+def _mask_positions(mask_lo: int, mask_hi: int, width: int):
+    """(word_sel [width], shift [width], live [width]): bit i of the
+    compact sort key comes from word[word_sel[i]] >> shift[i]; dead slots
+    (block narrower than width) contribute 0 so every block of a
+    threshold shares one compiled program."""
+    sel, sh, live = [], [], []
+    for p in range(64):
+        if (mask_lo if p < 32 else mask_hi) >> (p % 32) & 1:
+            sel.append(0 if p < 32 else 1)
+            sh.append(p % 32)
+            live.append(1)
+    while len(sel) < width:
+        sel.append(0)
+        sh.append(0)
+        live.append(0)
+    return (np.array(sel, np.int32), np.array(sh, np.uint32),
+            np.array(live, np.uint32))
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _sort_block_compact(pairs, valid, cmlo, cmhi, sel, sh, live, *, width):
+    """Sort by the block's bits COMPACTED into one ≤32-bit key, carrying
+    lo/hi/valid as sort payloads: 6.7x faster per block than the two-word
+    key + post-sort gathers at 10M (59 vs 396 ms warm, experiments/
+    ph_sort_ab.py — three random 10.5M gathers cost far more than moving
+    payloads through the sort network)."""
     lo, hi = pairs[:, 0], pairs[:, 1]
     n = lo.shape[0]
+    key = jnp.zeros(n, jnp.uint32)
+    for i in range(width):
+        w = jnp.where(sel[i] == 0, lo, hi)
+        key |= ((w >> sh[i]) & live[i]) << jnp.uint32(i)
     # invalid rows (tombstones/bucket padding) sink to the end; a valid
-    # all-ones masked key colliding with the sentinel only wastes scan
-    # work on the dead tail (the kernels' validity mask keeps counts right)
+    # all-ones key colliding with the sentinel (width=32 only) just wastes
+    # scan work on the dead tail (the kernels' validity mask keeps counts
+    # right)
+    key = jnp.where(valid, key, _U32)
+    _, srow, slo, shi, sv = jax.lax.sort(
+        (key, jnp.arange(n, dtype=jnp.int32), lo, hi,
+         valid.astype(jnp.uint32)), num_keys=1)
+    svalid = sv.astype(bool)
+    n_runs = _run_stats(slo, shi, svalid, cmlo, cmhi)
+    return slo, shi, srow, svalid, n_runs
+
+
+@jax.jit
+def _sort_block_wide(pairs, valid, cmlo, cmhi):
+    """Two-word-key sort for blocks wider than 32 bits (threshold 1: the
+    single block IS the whole hash).  Masks are TRACED u32 scalars so all
+    blocks share one compiled program."""
+    lo, hi = pairs[:, 0], pairs[:, 1]
+    n = lo.shape[0]
     klo = jnp.where(valid, lo & cmlo, _U32)
     khi = jnp.where(valid, hi & cmhi, _U32)
-    _, _, srow = jax.lax.sort(
-        (klo, khi, jnp.arange(n, dtype=jnp.int32)), num_keys=2)
-    slo = jnp.take(lo, srow)
-    shi = jnp.take(hi, srow)
-    svalid = jnp.take(valid, srow)
+    _, _, srow, slo, shi, sv = jax.lax.sort(
+        (klo, khi, jnp.arange(n, dtype=jnp.int32), lo, hi,
+         valid.astype(jnp.uint32)), num_keys=2)
+    svalid = sv.astype(bool)
+    n_runs = _run_stats(slo, shi, svalid, cmlo, cmhi)
+    return slo, shi, srow, svalid, n_runs
+
+
+def _sort_block(pairs, valid, mask: tuple[int, int], width: int):
+    """Sort the store by one block's masked bits.
+
+    @param width static max block width for this threshold (ceil(64/T));
+           ≤32 routes to the compact-key sort, wider to the two-word key
+    @return (slo, shi, srow, svalid, n_runs): sorted arrays plus the
+            number of distinct valid equal-key runs (scalar), from which
+            the caller sizes the band for this block's MEASURED key skew
+            (declared block width lies when hash bits are biased — e.g.
+            DCT sign bits of natural images, or a constant MSB).
+    """
+    cmlo, cmhi = jnp.uint32(mask[0]), jnp.uint32(mask[1])
+    if width <= 32:
+        sel, sh, live = _mask_positions(mask[0], mask[1], width)
+        return _sort_block_compact(pairs, valid, cmlo, cmhi,
+                                   jnp.asarray(sel), jnp.asarray(sh),
+                                   jnp.asarray(live), width=width)
+    return _sort_block_wide(pairs, valid, cmlo, cmhi)
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _pad_block(slo, shi, srow, svalid, cmlo, cmhi, *, s):
+    """Pad one sorted block to [N+s] (pad rows invalid) and derive the
+    oversized-run boundary masks for band half-width ``s``: os_start [N-s]
+    (position i starts a run longer than s+1), os_end [N-s] (position i+s
+    ends one), and n_os (scalar count of oversized runs)."""
     sklo = jnp.where(svalid, slo & cmlo, _U32)
     skhi = jnp.where(svalid, shi & cmhi, _U32)
     change = jnp.concatenate([
@@ -119,6 +192,14 @@ def _prep_block(pairs, valid, cmlo, cmhi, *, s):
     pad = ((0, s),)
     return (jnp.pad(slo, pad), jnp.pad(shi, pad), jnp.pad(srow, pad),
             jnp.pad(svalid, pad), os_start, os_end, n_os)
+
+
+def _prep_block(pairs, valid, mask: tuple[int, int], width: int, *, s):
+    """Sort + pad in one call (the fixed-s path used by extract_hits and
+    explicit-s callers)."""
+    slo, shi, srow, svalid, _ = _sort_block(pairs, valid, mask, width)
+    return _pad_block(slo, shi, srow, svalid, jnp.uint32(mask[0]),
+                      jnp.uint32(mask[1]), s=s)
 
 
 def _hit_mask(x_lo, x_hi, t, mask_cur, mask_prev):
@@ -233,7 +314,7 @@ def _unsort_add(counts, csort, srow):
     return counts.at[srow].add(csort, unique_indices=True)
 
 
-def _pick_s(n_valid: int, n_pad: int, min_bits: int) -> int:
+def _pick_s_avg(avg_run: float, n_pad: int) -> int:
     """Band half-width: smallest power-of-two tile ≥1.5x the average
     equal-key run (band pairs scale with s, so smaller is faster: the 10M
     t=5 sweep measured s=4096 → 7.4 s, 8192 → 9.9 s, 32768 → 27 s warm;
@@ -241,13 +322,114 @@ def _pick_s(n_valid: int, n_pad: int, min_bits: int) -> int:
     via the dense run tiles; pathological skew hits the run budget and
     falls back.  0 when even the largest tile can't hold the average run
     — the classic scan wins there."""
-    avg_run = max(1.0, n_valid / float(1 << min_bits))
     for cand in (1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072):
         if cand > n_pad // 2:
             break
         if 2 * cand >= 3 * avg_run:
             return cand
     return 0
+
+
+def _pick_s(n_valid: int, n_pad: int, min_bits: int) -> int:
+    """Declared-width band pick (extract_hits and pre-sort estimates);
+    the count phase re-picks per block from the MEASURED run count."""
+    return _pick_s_avg(max(1.0, n_valid / float(1 << min_bits)), n_pad)
+
+
+def _pick_g(s: int, n_pad: int, mesh) -> int:
+    """Band tiles per dispatch: ~0.5G band pairs amortizes dispatch +
+    mask overhead; on a mesh every chip needs a chunk per step."""
+    g = max(2, min(128, (1 << 29) // (2 * s * s)))
+    if mesh is not None:
+        devs = int(np.prod(mesh.devices.shape))
+        g = max(1, min(g, n_pad // (s * devs) or 1))
+    while n_pad % (g * s):
+        g //= 2
+    return g
+
+
+def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
+                  *, s: int = 0, g: int = 0, mesh=None):
+    """Device-resident core of the count phase: returns the [n_pad] int32
+    counts WITHOUT reading them back (a full-counts readback through the
+    axon tunnel costs seconds at 10M rows), or None out of sweet spot."""
+    n_pad = int(pairs_dev.shape[0])
+    if not (1 <= threshold <= MAX_THRESHOLD) or n_pad < MIN_STORE:
+        return None
+    masks = block_masks(threshold)
+    fixed_s = s
+    if fixed_s:
+        fixed_s = min(fixed_s, n_pad // 2)
+        if n_pad % fixed_s:
+            return None  # buckets are powers of two or 2^21 mult — never
+    elif not _pick_s(n_valid, n_pad, 64 // threshold):
+        return None  # declared runs too long for any band — classic wins
+    if mesh is not None:
+        from ..parallel import sharded as sh
+        pairs_dev, valid_dev = sh.ph_replicate(mesh, pairs_dev, valid_dev)
+        counts = sh.ph_replicate(mesh, jnp.zeros(n_pad, jnp.int32))[0]
+    else:
+        counts = jnp.zeros(n_pad, jnp.int32)
+    from ..utils.log import profile_stage
+    prof = bool(os.environ.get("CBIRD_PROFILE"))
+    width = -(-64 // threshold)
+    for b, mask_cur in enumerate(masks):
+        mask_prev = masks[:b]
+        with profile_stage(f"ph sort b{b}"):
+            slo_u, shi_u, srow_u, svalid_u, n_runs = _sort_block(
+                pairs_dev, valid_dev, mask_cur, width)
+            if fixed_s:
+                sb = fixed_s
+            else:
+                # size the band from this block's MEASURED key skew:
+                # declared block width lies when hash bits are biased
+                sb = _pick_s_avg(n_valid / max(1.0, float(n_runs)), n_pad)
+                if not sb:
+                    return None  # measured runs too long — classic wins
+            slo, shi, srow, svalid, os_start, os_end, n_os = _pad_block(
+                slo_u, shi_u, srow_u, svalid_u, jnp.uint32(mask_cur[0]),
+                jnp.uint32(mask_cur[1]), s=sb)
+            if prof:
+                jax.block_until_ready(svalid)
+        gb = g or _pick_g(sb, n_pad, mesh)
+        while n_pad % (gb * sb):
+            gb //= 2
+        r = gb * sb
+        tile_pairs: set[tuple[int, int]] = set()
+        if int(n_os):
+            starts = np.nonzero(np.asarray(os_start))[0]
+            ends = np.nonzero(np.asarray(os_end))[0] + sb
+            for st, en in zip(starts, ends):  # run occupies [st, en]
+                t0, t1 = int(st) // sb, int(en) // sb
+                for ta in range(t0, t1 - 1):
+                    for tb in range(ta + 2, t1 + 1):
+                        tile_pairs.add((ta, tb))
+            if (len(tile_pairs) > RUN_BUDGET_TILES
+                    or len(tile_pairs) * sb * sb
+                    > RUN_BUDGET_FRAC * n_valid * n_valid / 2):
+                return None  # degenerate key skew — classic path wins
+        with profile_stage(f"ph band b{b} (s={sb}, runs={len(tile_pairs)})"):
+            if mesh is not None:
+                csort = _sharded_block(mesh, slo, shi, srow, svalid,
+                                       sorted(tile_pairs), mask_cur,
+                                       mask_prev, n_pad, sb, gb, threshold)
+            else:
+                csort = jnp.zeros(n_pad + sb, jnp.int32)
+                for p0 in range(0, n_pad, r):
+                    csort = _band_chunk(csort, slo, shi, srow, svalid,
+                                        jnp.int32(p0), mask_cur=mask_cur,
+                                        mask_prev=mask_prev, s=sb, g=gb,
+                                        t=threshold)
+                for ta, tb in sorted(tile_pairs):
+                    csort = _run_tile(csort, slo, shi, srow, svalid,
+                                      jnp.int32(ta * sb), jnp.int32(tb * sb),
+                                      mask_cur=mask_cur,
+                                      mask_prev=mask_prev,
+                                      s=sb, t=threshold)
+            if prof:
+                jax.block_until_ready(csort)
+        counts = _unsort_add(counts, csort, srow)
+    return counts
 
 
 def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
@@ -267,70 +449,46 @@ def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
            parallel.sharded.sharded_self_count
     @return [N] int32 numpy counts (padded rows 0), or None
     """
-    n_pad = int(pairs_dev.shape[0])
-    if not (1 <= threshold <= MAX_THRESHOLD) or n_pad < MIN_STORE:
+    counts = _count_device(pairs_dev, valid_dev, threshold, n_valid,
+                           s=s, g=g, mesh=mesh)
+    if counts is None:
         return None
-    masks = block_masks(threshold)
-    if not s:
-        s = _pick_s(n_valid, n_pad, 64 // threshold)
-        if not s:
-            return None  # runs too long for the band — classic path wins
-    s = min(s, n_pad // 2)
-    if n_pad % s:
-        return None  # buckets are powers of two or 2^21 multiples — never
-    if not g:
-        # ~0.5G band pairs per dispatch amortizes dispatch + mask overhead
-        g = max(2, min(128, (1 << 29) // (2 * s * s)))
-    if mesh is not None:
-        devs = int(np.prod(mesh.devices.shape))
-        # every chip needs a chunk per step: cap g so there are ≥C chunks
-        g = max(1, min(g, n_pad // (s * devs) or 1))
-    while n_pad % (g * s):
-        g //= 2
-    r = g * s
-    if mesh is not None:
-        from ..parallel import sharded as sh
-        pairs_dev, valid_dev = sh.ph_replicate(mesh, pairs_dev, valid_dev)
-        counts = sh.ph_replicate(
-            mesh, jnp.zeros(n_pad + s, jnp.int32))[0]
-    else:
-        counts = jnp.zeros(n_pad + s, jnp.int32)
-    for b, mask_cur in enumerate(masks):
-        mask_prev = masks[:b]
-        slo, shi, srow, svalid, os_start, os_end, n_os = _prep_block(
-            pairs_dev, valid_dev, jnp.uint32(mask_cur[0]),
-            jnp.uint32(mask_cur[1]), s=s)
-        tile_pairs: set[tuple[int, int]] = set()
-        if int(n_os):
-            starts = np.nonzero(np.asarray(os_start))[0]
-            ends = np.nonzero(np.asarray(os_end))[0] + s
-            for st, en in zip(starts, ends):  # run occupies [st, en]
-                t0, t1 = int(st) // s, int(en) // s
-                for ta in range(t0, t1 - 1):
-                    for tb in range(ta + 2, t1 + 1):
-                        tile_pairs.add((ta, tb))
-            if (len(tile_pairs) > RUN_BUDGET_TILES
-                    or len(tile_pairs) * s * s
-                    > RUN_BUDGET_FRAC * n_valid * n_valid / 2):
-                return None  # degenerate key skew — classic path wins
-        if mesh is not None:
-            csort = _sharded_block(mesh, slo, shi, srow, svalid,
-                                   sorted(tile_pairs), mask_cur, mask_prev,
-                                   n_pad, s, g, threshold)
-        else:
-            csort = jnp.zeros(n_pad + s, jnp.int32)
-            for p0 in range(0, n_pad, r):
-                csort = _band_chunk(csort, slo, shi, srow, svalid,
-                                    jnp.int32(p0), mask_cur=mask_cur,
-                                    mask_prev=mask_prev, s=s, g=g,
-                                    t=threshold)
-            for ta, tb in sorted(tile_pairs):
-                csort = _run_tile(csort, slo, shi, srow, svalid,
-                                  jnp.int32(ta * s), jnp.int32(tb * s),
-                                  mask_cur=mask_cur, mask_prev=mask_prev,
-                                  s=s, t=threshold)
-        counts = _unsort_add(counts, csort, srow)
-    return np.asarray(counts)[:n_pad]
+    return np.asarray(counts)
+
+
+@jax.jit
+def _pack_nonzero(counts):
+    """1-bit-per-row nonzero mask, packed on device: the readback is
+    n_pad/8 bytes instead of 4·n_pad (the full int32 counts array costs
+    seconds through the axon tunnel at 10M rows)."""
+    return jnp.packbits(counts > 0)
+
+
+@jax.jit
+def _gather_counts(counts, rows):
+    return jnp.take(counts, rows)
+
+
+def self_counts_sparse(pairs_dev, valid_dev, threshold: int, n_valid: int,
+                       *, s: int = 0, g: int = 0, mesh=None):
+    """Count phase with sparse readback: (hot_rows, hot_counts) — the
+    store rows with ≥1 later-row hit and their exact counts — or None out
+    of the sweet spot.  Readback is a packed nonzero bitmask (n/8 bytes)
+    plus one gather of the hot counts, instead of the full [N] int32
+    array; at 10M rows that turns a ~42 MB tunnel transfer into ~1.5 MB.
+    """
+    counts = _count_device(pairs_dev, valid_dev, threshold, n_valid,
+                           s=s, g=g, mesh=mesh)
+    if counts is None:
+        return None
+    n_pad = int(pairs_dev.shape[0])
+    packed = np.asarray(_pack_nonzero(counts))
+    hot = np.nonzero(np.unpackbits(packed, count=n_pad))[0]
+    if not len(hot):
+        return hot, np.zeros(0, np.int32)
+    hot_counts = np.asarray(_gather_counts(
+        counts, jnp.asarray(hot.astype(np.int32))))
+    return hot, hot_counts
 
 
 @functools.partial(jax.jit, static_argnames=("s", "mask_cur", "mask_prev",
@@ -442,8 +600,7 @@ def extract_hits(pairs_dev, valid_dev, threshold: int, hot: np.ndarray,
     # per-chunk per-block [B, kb] tops are tiny); scales to 100M+ rows
     for b, mask_cur in enumerate(masks):
         slo, shi, srow, svalid, os_start, os_end, n_os = _prep_block(
-            pairs_dev, valid_dev, jnp.uint32(mask_cur[0]),
-            jnp.uint32(mask_cur[1]), s=s)
+            pairs_dev, valid_dev, mask_cur, -(-64 // threshold), s=s)
         pos = jnp.take(_inverse_perm(srow, s=s), hot_dev)
         pos_pad = jnp.pad(pos, (0, B))
         if int(n_os):

@@ -104,6 +104,31 @@ def test_counts_budget_fallback(rng):
     assert got is None
 
 
+def test_sparse_matches_full(rng):
+    """self_counts_sparse (packed-bitmask readback) returns exactly the
+    nonzero rows + counts of the full readback, including the adaptive
+    per-block band pick (no explicit s)."""
+    n = 4096
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
+        hashes[dst] = hashes[src] ^ np.uint64(1 << int(rng.integers(0, 64)))
+    hashes[7] = hashes[8]
+    valid = np.ones(n, bool)
+    valid[rng.choice(n, size=300, replace=False)] = False
+    pairs = jnp.asarray(split_u64(hashes))
+    full = pigeonhole.self_counts(pairs, jnp.asarray(valid), 5,
+                                  int(valid.sum()))
+    sp = pigeonhole.self_counts_sparse(pairs, jnp.asarray(valid), 5,
+                                       int(valid.sum()))
+    assert (full is None) == (sp is None)
+    if full is None:
+        pytest.skip("adaptive pick declined at this size")
+    hot, hot_counts = sp
+    np.testing.assert_array_equal(hot, np.nonzero(full)[0])
+    np.testing.assert_array_equal(hot_counts, full[hot])
+    np.testing.assert_array_equal(full, _golden_counts(hashes, valid, 5))
+
+
 def test_gates():
     pairs = jnp.zeros((2048, 2), jnp.uint32)
     valid = jnp.ones(2048, bool)
@@ -122,14 +147,14 @@ def test_search_self_routes_pigeonhole(rng, monkeypatch):
     monkeypatch.setattr(hamming, "_MESH", None)
     monkeypatch.setattr(pigeonhole, "MIN_STORE", 1024)
     calls = []
-    real = pigeonhole.self_counts
+    real = pigeonhole.self_counts_sparse
 
     def spy(*a, **kw):
         out = real(*a, **kw)
         calls.append(out is not None)
         return out
 
-    monkeypatch.setattr(pigeonhole, "self_counts", spy)
+    monkeypatch.setattr(pigeonhole, "self_counts_sparse", spy)
     n = 3000
     hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
     for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
@@ -258,14 +283,14 @@ def test_search_self_sharded_routes_pigeonhole(rng, monkeypatch):
     from cbird_tpu.ops import hamming
     monkeypatch.setattr(pigeonhole, "MIN_STORE", 1024)
     calls = []
-    real = pigeonhole.self_counts
+    real = pigeonhole.self_counts_sparse
 
     def spy(*a, **kw):
         out = real(*a, **kw)
         calls.append(kw.get("mesh") is not None and out is not None)
         return out
 
-    monkeypatch.setattr(pigeonhole, "self_counts", spy)
+    monkeypatch.setattr(pigeonhole, "self_counts_sparse", spy)
     n = 3000
     hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
     for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
