@@ -414,12 +414,29 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
                                        sorted(tile_pairs), mask_cur,
                                        mask_prev, n_pad, sb, gb, threshold)
             else:
-                csort = jnp.zeros(n_pad + sb, jnp.int32)
-                for p0 in range(0, n_pad, r):
-                    csort = _band_chunk(csort, slo, shi, srow, svalid,
-                                        jnp.int32(p0), mask_cur=mask_cur,
-                                        mask_prev=mask_prev, s=sb, g=gb,
-                                        t=threshold)
+                from . import pallas_band
+                if pallas_band.enabled():
+                    # opt-in VMEM-tiled Pallas band (CBIRD_PALLAS_BAND=on):
+                    # 3.8x faster COLD (one program per (s, T) — masks ride
+                    # SMEM) but 1.4x slower warm at 10M; see
+                    # ops/pallas_band.py for the full write-up.
+                    marr = np.zeros((threshold, 2), np.uint32)
+                    marr[0] = mask_cur
+                    for p, m in enumerate(mask_prev):
+                        marr[1 + p] = m
+                    csort = _band_epilogue(
+                        pallas_band.band_counts(
+                            slo, shi, srow, svalid, jnp.asarray(marr),
+                            jnp.int32(threshold), s=sb,
+                            t_blocks=threshold), s=sb)
+                else:
+                    csort = jnp.zeros(n_pad + sb, jnp.int32)
+                    for p0 in range(0, n_pad, r):
+                        csort = _band_chunk(csort, slo, shi, srow, svalid,
+                                            jnp.int32(p0),
+                                            mask_cur=mask_cur,
+                                            mask_prev=mask_prev, s=sb,
+                                            g=gb, t=threshold)
                 for ta, tb in sorted(tile_pairs):
                     csort = _run_tile(csort, slo, shi, srow, svalid,
                                       jnp.int32(ta * sb), jnp.int32(tb * sb),
@@ -430,6 +447,14 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
                 jax.block_until_ready(csort)
         counts = _unsort_add(counts, csort, srow)
     return counts
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _band_epilogue(row_credit, *, s):
+    """Pad the Pallas band row credits into the csort layout the run
+    tiles and _unsort_add expect (the symmetric kernel credits every
+    pair on its smaller-store-row side, so row credits are complete)."""
+    return jnp.pad(row_credit, ((0, s),))
 
 
 def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,

@@ -104,6 +104,64 @@ def test_counts_budget_fallback(rng):
     assert got is None
 
 
+@pytest.mark.parametrize("t", [1, 5])
+def test_pallas_band_matches_xla(rng, monkeypatch, t):
+    """The Pallas band kernel (interpret mode on CPU) must reproduce the
+    XLA band-chunk contributions bit-exactly, including dedup masks,
+    attribution, validity, and the window position mask."""
+    from cbird_tpu.ops import pallas_band
+    monkeypatch.setattr(pallas_band, "_INTERPRET", True)
+    n, s = 2048, 256
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    for src, dst in [(5, 1900), (950, 10), (100, 101)]:
+        h = int(hashes[src])
+        for b in rng.choice(64, size=int(rng.integers(0, t)), replace=False):
+            h ^= 1 << int(b)
+        hashes[dst] = np.uint64(h)
+    hashes[7] = hashes[8]
+    valid = np.ones(n, bool)
+    valid[rng.choice(n, size=200, replace=False)] = False
+    pairs = jnp.asarray(split_u64(hashes))
+    masks = pigeonhole.block_masks(t)
+    width = -(-64 // t)
+    for b, mask_cur in enumerate(masks):
+        slo, shi, srow, svalid, _, _, _ = pigeonhole._prep_block(
+            pairs, jnp.asarray(valid), mask_cur, width, s=s)
+        ref = jnp.zeros(n + s, jnp.int32)
+        for p0 in range(0, n, 4 * s):
+            ref = pigeonhole._band_chunk(
+                ref, slo, shi, srow, svalid, jnp.int32(p0),
+                mask_cur=mask_cur, mask_prev=masks[:b], s=s, g=4, t=t)
+        marr = np.zeros((t, 2), np.uint32)
+        marr[0] = mask_cur
+        for p, m in enumerate(masks[:b]):
+            marr[1 + p] = m
+        got = pigeonhole._band_epilogue(
+            pallas_band.band_counts(
+                slo, shi, srow, svalid, jnp.asarray(marr),
+                jnp.int32(t), s=s, t_blocks=t), s=s)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=f"block {b}")
+
+
+def test_self_counts_pallas_band_golden(rng, monkeypatch):
+    """self_counts with the Pallas band forced (interpret mode) stays
+    exact end-to-end, including the adaptive per-block band pick."""
+    from cbird_tpu.ops import pallas_band
+    monkeypatch.setattr(pallas_band, "_INTERPRET", True)
+    monkeypatch.setenv("CBIRD_PALLAS_BAND", "force")
+    n = 4096
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    for src, dst in [(5, 2900), (2950, 10), (100, 101), (0, n - 1)]:
+        hashes[dst] = hashes[src] ^ np.uint64(1 << int(rng.integers(0, 64)))
+    hashes[7] = hashes[8]
+    valid = np.ones(n, bool)
+    valid[rng.choice(n, size=300, replace=False)] = False
+    got = _counts(hashes, valid, 5, s=256)
+    assert got is not None
+    np.testing.assert_array_equal(got, _golden_counts(hashes, valid, 5))
+
+
 def test_sparse_matches_full(rng):
     """self_counts_sparse (packed-bitmask readback) returns exactly the
     nonzero rows + counts of the full readback, including the adaptive
