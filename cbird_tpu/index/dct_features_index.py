@@ -144,7 +144,7 @@ class DctFeaturesIndex(Index):
             pos = 0
             for needle, hashes in slice_needles:
                 k = len(hashes)
-                out.append(self._vote(needle, raw[pos:pos + k]))
+                out.append(self._vote(needle.id, raw[pos:pos + k]))
                 pos += k
             slice_needles.clear()
             pending = 0
@@ -158,7 +158,7 @@ class DctFeaturesIndex(Index):
         flush()
         return out
 
-    def _vote(self, needle: Media, hits) -> list[Match]:
+    def _vote(self, needle_id: int, hits) -> list[Match]:
         matches: dict[int, int] = {}
         scores: dict[int, int] = {}
         max_matches = 0
@@ -171,14 +171,14 @@ class DctFeaturesIndex(Index):
                     continue
                 matches[mid] = matches.get(mid, 0) + 1
                 scores[mid] = scores.get(mid, 0) + d
-                if mid != needle.id:
+                if mid != needle_id:
                     max_matches = max(max_matches, matches[mid])
         results = []
         for mid, count in matches.items():
             if count <= 0:
                 continue
             avg = scores[mid] / count
-            if mid == needle.id:
+            if mid == needle_id:
                 score = -1
             elif max_matches == 1:
                 score = int(10 * avg)
@@ -186,6 +186,74 @@ class DctFeaturesIndex(Index):
                 score = max_matches - count
             results.append(Match(mid, score))
         return results
+
+    def find_all(self, params: SearchParams):
+        """-similar N² for fdct straight off the packed kp-hash store
+        (no Media needle per DB row, no per-needle device sweeps): the
+        triangular self-search count-gates the store so only keypoint
+        hashes with a sub-threshold partner are ever extracted, then
+        candidate voting runs per hot image on host.  Measured on v5e
+        (experiments/fdct_n2_ab.py, 200k images / 1M kp hashes, planted
+        dups, same process): 0.70 s warm vs 145.8 s for the find_batch
+        path (208x), identical groups.
+
+        Vote parity with the find_batch path: search_self returns the
+        same per-hash candidate lists as store.search over the needle's
+        own hashes (self-hit at distance 0 included), except rows whose
+        ONLY hit is themselves come back empty — those rows feed only
+        the needle's own score=-1 entry, which is count-independent, so
+        the per-image vote is unchanged.  Reference semantics:
+        src/dctfeaturesindex.cpp:260-358 queried per needle by
+        src/database.cpp:1280-1466."""
+        if not params.filterSelf:
+            return None
+        ids = self._store.ids
+        if not len(ids):
+            return np.zeros(0, np.uint32), []
+        raw = self._store.search_self(params.dctThresh, k=3 * VOTE_K)
+        by_img: dict[int, list] = {}
+        for r, hits in enumerate(raw):
+            if len(hits[0]):
+                by_img.setdefault(int(ids[r]), []).append(hits)
+        votes = {mid: self._vote(mid, h) for mid, h in by_img.items()}
+        if params.maxThresh > 0:
+            # batched escalation, one store sweep per threshold step over
+            # the still-short images (mirrors DctHashIndex.find_all; the
+            # reference escalates per needle, src/database.cpp:1691-1757)
+            tmp = params.copy()
+            uniq = np.unique(ids[ids != 0])
+
+            def short(mid: int) -> bool:
+                # mirror _escalate_all's `len(matches) <= minMatches`: the
+                # find_batch vote always contains the needle's own score=-1
+                # entry for images with hashes, so images absent from
+                # ``votes`` (or gated to empty by min_hits) count as 1
+                return max(1, len(votes.get(mid, ()))) <= params.minMatches
+
+            pend = [int(m) for m in uniq if short(int(m))]
+            while pend:
+                tmp.dctThresh += 1
+                if tmp.dctThresh > params.maxThresh:
+                    break
+                rows = np.nonzero(np.isin(ids, np.asarray(
+                    pend, ids.dtype)))[0]
+                sub = self._store.search(self._store.hashes[rows],
+                                         tmp.dctThresh, k=3 * VOTE_K,
+                                         min_hits=2)
+                regroup: dict[int, list] = {}
+                for r, hits in zip(rows, sub):
+                    if len(hits[0]):
+                        regroup.setdefault(int(ids[r]), []).append(hits)
+                for mid in pend:
+                    votes[mid] = self._vote(mid, regroup.get(mid, []))
+                pend = [m for m in pend if short(m)]
+        out_ids = np.fromiter(votes.keys(), np.uint32, len(votes))
+        out = []
+        for mid in out_ids.tolist():
+            ms = sorted(votes[mid], key=lambda m: (m.score, m.mediaId))
+            out.append((np.array([m.mediaId for m in ms], np.int64),
+                        np.array([m.score for m in ms], np.int64)))
+        return out_ids, out
 
     def find_index_data(self, media: Media) -> bool:
         if media.id and (media.keyPointHashes is None

@@ -195,6 +195,31 @@ def test_add_remove_readd(contract_engine, algo):
     assert after_readd == before, (algo, after_readd, before)
 
 
+def test_fdct_find_all_matches_find_batch(contract_engine, monkeypatch):
+    """-similar -p.alg fdct through the streamed store-level N²
+    (DctFeaturesIndex.find_all: search_self on the kp-hash store + per-hot-
+    image voting) must yield the same groups as the per-needle find_batch
+    path, with and without maxThresh escalation."""
+    eng, root, groups = contract_engine
+
+    def canon(res):
+        return sorted((g[0].path,
+                       tuple(sorted((m.path, m.score) for m in g[1:])))
+                      for g in res)
+
+    from cbird_tpu.index.dct_features_index import DctFeaturesIndex
+    for maxth in (0, 9):
+        sp = _params_for("fdct")
+        sp.maxThresh = maxth
+        fast = eng.db.similar(sp)
+        assert fast, "streamed fdct N² found no groups"
+        with monkeypatch.context() as mp:
+            mp.setattr(DctFeaturesIndex, "find_all",
+                       lambda self, params: None)
+            slow = eng.db.similar(sp)
+        assert canon(fast) == canon(slow), maxth
+
+
 def test_dct_hash_flat_cache(tmp_path, monkeypatch):
     """The dct store persists a flat sidecar cache like the feature
     indexes (index/cache.py): a fresh engine loads identical arrays from
