@@ -1109,6 +1109,24 @@ def main(argv: list[str] | None = None) -> int:
             jax.config.update("jax_platforms", plat)
         except Exception:  # noqa: BLE001
             pass
+    # Persistent compile cache: every CLI invocation is a fresh process, so
+    # without this each run re-pays XLA compilation of the scan programs
+    # (minutes on the CPU backend; TPU compiles are cached server-side but
+    # still cost a round trip).  CBIRD_COMPILE_CACHE=off disables;
+    # any other value overrides the default ~/.cache/cbird-tpu/jax.
+    cache = os.environ.get(
+        "CBIRD_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "cbird-tpu", "jax"))
+    if cache.lower() not in ("off", "0", "no"):
+        try:
+            import jax
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.2)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            pass
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print(USAGE)

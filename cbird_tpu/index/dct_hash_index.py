@@ -64,12 +64,28 @@ class DctHashIndex(Index):
             self._store = PackedHashStore(cached["hashes"], cached["ids"])
             self._loaded = True
             return
-        rows = conn.execute(
+        total = conn.execute(
+            "select count(*) from media where type=? and phash_dct != 0",
+            (TYPE_IMAGE,)).fetchone()[0]
+        # stream the cursor into preallocated arrays: fetchall() at 10M rows
+        # is ~1.5 GB of Python tuples held all at once
+        ids = np.empty(total, dtype=np.uint32)
+        hashes = np.empty(total, dtype=np.uint64)
+        cur = conn.execute(
             "select id, phash_dct from media where type=? and phash_dct != 0",
-            (TYPE_IMAGE,)).fetchall()
-        ids = np.array([r[0] for r in rows], dtype=np.uint32)
-        hashes = np.array([np.uint64(r[1] & 0xFFFFFFFFFFFFFFFF) for r in rows],
-                          dtype=np.uint64)
+            (TYPE_IMAGE,))
+        i = 0
+        while True:
+            rows = cur.fetchmany(262144)
+            if not rows:
+                break
+            stop = min(i + len(rows), total)
+            arr = np.asarray(rows[:stop - i], dtype=np.int64)
+            if len(arr):
+                ids[i:stop] = arr[:, 0].astype(np.uint32)
+                hashes[i:stop] = arr[:, 1].view(np.uint64)
+            i = stop
+        ids, hashes = ids[:i], hashes[:i]
         self._store = PackedHashStore(hashes, ids)
         self._loaded = True
         if len(ids) >= CACHE_MIN_ROWS:  # small ones reload from SQL fast
