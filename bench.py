@@ -9,12 +9,31 @@ Baseline (BASELINE.md driver targets): >=50k images hashed/sec/chip and
 stderr so the driver's one-line contract holds.
 """
 
+import glob
 import json
 import os
 import sys
 import time
 
 import numpy as np
+
+
+def _last_round_value():
+    """Most recent BENCH_r*.json value, for regression-gating (VERDICT r03 #2:
+    round 3 shipped a 3.1x hash loss invisibly because nothing compared
+    against the prior round's number)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not paths:
+        return None, None
+    try:
+        with open(paths[-1]) as f:
+            rec = json.load(f)
+        if "parsed" in rec:  # driver format: {"n":…, "parsed": {…}}
+            rec = rec["parsed"]
+        return rec.get("value"), os.path.basename(paths[-1])
+    except Exception:
+        return None, None
 
 
 def main():
@@ -109,6 +128,15 @@ def main():
           f"{warm_p50:.2f} ms end-to-end = {floor_ms:.1f} ms tunnel floor "
           f"+ {device_ms:.1f} ms device; <10 ms target {verdict}",
           file=sys.stderr)
+
+    last, last_name = _last_round_value()
+    if last:
+        ratio = imgs_per_sec / last
+        flag = "" if 0.67 <= ratio <= 1.5 else \
+            "  ** >1.5x move — investigate before snapshot (pool variance " \
+            "is up to 3x; re-run to confirm, bisect if it sticks) **"
+        print(f"vs_last_round: {ratio:.2f}x ({last_name}: {last:,.0f}){flag}",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "dct_hash_images_per_sec",
