@@ -210,11 +210,11 @@ class DctFeaturesIndex(Index):
         ids = self._store.ids
         if not len(ids):
             return np.zeros(0, np.uint32), []
-        raw = self._store.search_self(params.dctThresh, k=3 * VOTE_K)
+        raw = self._store.search_self(params.dctThresh, k=3 * VOTE_K,
+                                      sparse=True)
         by_img: dict[int, list] = {}
-        for r, hits in enumerate(raw):
-            if len(hits[0]):
-                by_img.setdefault(int(ids[r]), []).append(hits)
+        for r in sorted(raw):  # row-ascending: per-image hit order as before
+            by_img.setdefault(int(ids[r]), []).append(raw[r])
         votes = {mid: self._vote(mid, h) for mid, h in by_img.items()}
         if params.maxThresh > 0:
             # batched escalation, one store sweep per threshold step over

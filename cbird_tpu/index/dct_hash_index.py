@@ -146,14 +146,17 @@ class DctHashIndex(Index):
         if n == 0:
             return ids, []
         k = max(params.maxMatches * 4, 64)
-        raw = self._store.search_self(params.dctThresh, k=k)
+        raw = self._store.search_self(params.dctThresh, k=k, sparse=True)
         if params.maxThresh > 0:
             # batched escalation: one store scan per threshold step over
             # the still-short needles (the reference escalates per needle,
             # src/database.cpp:1691-1757 — dispatch-bound at this scale)
             tmp = params.copy()
-            pend = [i for i in range(n)
-                    if ids[i] and len(raw[i][0]) <= params.minMatches]
+            hits_len = np.zeros(n, np.int64)
+            for r, v in raw.items():
+                hits_len[r] = len(v[0])
+            pend = np.nonzero((ids != 0)
+                              & (hits_len <= params.minMatches))[0].tolist()
             while pend:
                 tmp.dctThresh += 1
                 if tmp.dctThresh > params.maxThresh:

@@ -209,12 +209,11 @@ class DctVideoIndex(Index):
         if not slot_to_idx or 2 * trimmed_frames <= f_total:
             return set()  # triangle scan (F²/2) wouldn't beat Q_trim × F
         k = min(4096, f_total)
-        res = store.as_hash_store().search_self(params.dctThresh, k=k)
+        res = store.as_hash_store().search_self(params.dctThresh, k=k,
+                                                sparse=True)
         srcs, dsts, dists = [], [], []
-        for r, (ids, ds) in enumerate(res):
+        for r, (ids, ds) in res.items():
             m = len(ids)
-            if m == 0:
-                continue
             if m >= k:
                 return set()  # possible truncation — exactness first
             srcs.append(np.full(m, r, np.int64))

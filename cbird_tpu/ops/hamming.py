@@ -32,6 +32,9 @@ from .dct_hash import split_u64
 # larger than any valid distance (max real distance is 64)
 BAD_DIST = np.int32(0x7FFF)
 
+# shared read-only "no hits" result tuple
+_EMPTY = (np.zeros(0, np.uint32), np.zeros(0, np.int32))
+
 
 def _chunk_dists(n_lo, n_hi, h_lo, h_hi):
     """[Q] needles vs [C] haystack rows → [Q, C] int32 distances."""
@@ -61,8 +64,16 @@ def hamming_topk(needles: jnp.ndarray, haystack: jnp.ndarray,
     (experiments/topk_batch_ab.py): chunk 2^21 4.27 s / 2^22 2.67 s /
     2^23 2.02 s / single block 1.57 s for 10 batches; wider needle
     batches LOSE (qb=4096 ~20% slower than 1024 at every chunk).
+
+    EXCEPT at tiny Q: a single-needle PartialReduce over one 10.5M row
+    runs ~8 ms device-side while the 2^21 scan runs ~1.8 ms (2026-08-20,
+    experiments/topk_q1_ab.py); Q>=4 already favors the single block
+    (~1 ms).  So Q<4 caps the chunk at 2^21 — this is the -serve warm
+    path (BASELINE <10 ms p50).
     """
     q = needles.shape[0]
+    if q < 4:
+        chunk = min(chunk, 1 << 21)
     n = haystack.shape[0]
     k = min(k, max(n, 1))
     n_lo, n_hi = needles[:, 0], needles[:, 1]
@@ -447,7 +458,8 @@ class PackedHashStore:
 
     def search_self(self, threshold: int, k: int = 64,
                     needle_batch: int = 1024, rows: int = 0,
-                    cols: int = 0, min_n: int = 1 << 16):
+                    cols: int = 0, min_n: int = 1 << 16,
+                    sparse: bool = False):
         """N² self-search: every store row queried against the whole store,
         equivalent to ``search(self.hashes, threshold, k, min_hits=2)`` but
         with the count phase run over the upper triangle only (the matrix
@@ -455,17 +467,28 @@ class PackedHashStore:
         whose duplicates are all *earlier* rows are never row-hot; their
         results are mirrored out of the hot needles' full scans (every
         (i, j) hit has a hot i).  Used by -similar when the needle set IS
-        the index."""
+        the index.
+
+        @param sparse return {row: (ids, dists)} holding ONLY rows with
+               hits instead of a dense N-list.  At 10M+ rows the dense
+               list costs GBs of tuple objects and forces every consumer
+               into an O(N) Python loop over a dup-sparse result
+               (VERDICT r03: the 2M CLI -similar spent 175 of 177 s
+               there); the hot set is what the count phase already read
+               back, so sparse is free here."""
         n = len(self._hashes)
         if n == 0:
-            return []
+            return {} if sparse else []
         mesh = _search_mesh()
         if n <= min_n or (mesh is not None and n > 1 << 28):
             # small stores are count-phase-cheap — plain path; gigantic
             # stores can't replicate per chip for the balanced sharded
             # triangle (beyond ~2GB/chip the index-sharded scan wins on
             # capacity)
-            return self.search(self._hashes, threshold, k, min_hits=2)
+            dense = self.search(self._hashes, threshold, k, min_hits=2)
+            if sparse:
+                return {r: v for r, v in enumerate(dense) if len(v[0])}
+            return dense
         pairs_dev, valid_dev = self._device_arrays()
         if mesh is not None:
             # balanced multi-chip triangle: replicated haystack (bucketed
@@ -542,10 +565,11 @@ class PackedHashStore:
                 hot_counts = counts[hot]
         hot = hot[hot < n]  # bucket padding rows are never truly hot
         hot_counts = hot_counts[:len(hot)]
-        empty = (np.zeros(0, np.uint32), np.zeros(0, np.int32))
-        results: list = [empty] * n
+        # assembled sparsely: only rows that get hits are ever written
+        # (scan, mirror, escalation); dense expansion happens at return
+        results: dict = {}
         if len(hot) == 0:
-            return results
+            return self._self_result(results, n, sparse)
         needles = split_u64(self._hashes)
         scan_rows = hot
         if (mesh is None and used_ph
@@ -577,7 +601,7 @@ class PackedHashStore:
         # needles with growing k until every hot list is complete (rare:
         # needs a duplicate cluster larger than k).
         kk = k
-        sat = [i for i in hot if len(results[i][0]) >= kk]
+        sat = [i for i in hot if len(results.get(i, _EMPTY)[0]) >= kk]
         pathological = False
         while sat and kk < n:
             kk = min(kk * 4, n, 1 << 16)
@@ -585,7 +609,7 @@ class PackedHashStore:
                 self._topk_phase(needles, np.asarray(sat), results,
                                  pairs_dev, valid_dev, threshold, kk,
                                  needle_batch, recall=0.999)
-            sat = [i for i in sat if len(results[i][0]) >= kk]
+            sat = [i for i in sat if len(results.get(i, _EMPTY)[0]) >= kk]
             if sat and kk >= 1 << 16:
                 pathological = True  # >65536-member duplicate cluster
                 break
@@ -620,13 +644,14 @@ class PackedHashStore:
                 ids, ds = res
                 if (len(ids) == 1 and ids[0] == self._ids[r]
                         and ds[0] == 0):  # lone self-hit ≠ a duplicate
-                    res = (ids[:0], ds[:0])
-                results[r] = res
+                    continue
+                if len(ids):
+                    results[r] = res
         else:
             with profile_stage("self_search mirror"):
                 mirrored_rows = self._mirror_self_matches(results, hot, k)
         for i in hot:  # restore the caller's k cap after escalation
-            ids, ds = results[i]
+            ids, ds = results.get(i, _EMPTY)
             if len(ids) > k:
                 results[i] = (ids[:k], ds[:k])
         if not pathological and mirrored_rows:
@@ -634,13 +659,24 @@ class PackedHashStore:
             # targets can overflow (a full O(N) sweep here would cost more
             # host time than the whole count phase at 100M rows)
             overflow = [r for r in mirrored_rows
-                        if len(results[r][0]) >= k]
+                        if len(results.get(r, _EMPTY)[0]) >= k]
             if overflow:  # mirrored ≥ k hits: mirror may have truncated
                 # differently than the needle's own top-k would — rescan
                 self._topk_phase(needles, np.asarray(overflow), results,
                                  pairs_dev, valid_dev, threshold, k,
                                  needle_batch, recall=0.999)
-        return results
+        return self._self_result(results, n, sparse)
+
+    @staticmethod
+    def _self_result(results: dict, n: int, sparse: bool):
+        """Sparse dict → caller format: drop empty rows (sparse) or expand
+        to the dense N-list (legacy callers and the parity tests)."""
+        if sparse:
+            return {r: v for r, v in results.items() if len(v[0])}
+        dense = [_EMPTY] * n
+        for r, v in results.items():
+            dense[r] = v
+        return dense
 
     def _classic_self_counts(self, pairs_dev, valid_dev, threshold, n_pad,
                              rows, cols, use_mxu):
@@ -689,7 +725,7 @@ class PackedHashStore:
             return out.astype(np.int32)
         src_parts, id_parts = [], []
         for j, i in enumerate(needle_rows):
-            ids = results[i][0]
+            ids = results.get(i, _EMPTY)[0]
             if len(ids):
                 src_parts.append(np.full(len(ids), j, np.int64))
                 id_parts.append(ids)
@@ -725,7 +761,7 @@ class PackedHashStore:
         @return list of target rows that received mirrored results"""
         src_parts, id_parts, d_parts = [], [], []
         for i in hot:
-            ids, dists = results[i]
+            ids, dists = results.get(i, _EMPTY)
             if len(ids):
                 src_parts.append(np.full(len(ids), i, np.int64))
                 id_parts.append(ids)
