@@ -62,41 +62,56 @@ static inline __m256i popcount256_epi64(__m256i v) {
 // Return the byte offset of the first SOS (0xFFDA) marker, skipping
 // application segments (0xFFE1-0xFFEF) by their declared length so embedded
 // thumbnails can't fake the offset.  0 = no SOS found (hash whole file).
+//
+// memchr-jump scan: hop from 0xFF byte to 0xFF byte instead of walking every
+// byte.  Behavior contract (pinned by tests/test_ioutil.py, must stay md5-
+// compatible with indexes written by the reference): only APP1-APP15 bodies
+// are length-skipped (APP0 and table/SOF segments are walked through, so a
+// stray FF DA inside them WOULD match — same answer either way), a stuffed
+// FF 00 or fill FF FF never classifies, and the first SOS wins.
 EXPORT int64_t cbird_jpeg_payload_offset(const uint8_t* data, int64_t size) {
-    int64_t i = 0;
-    int64_t payload_start = 0;
-    while (i < size) {
-        if (data[i++] == 0xFF) {
-            if (i < size) {
-                const int code = data[i];
-                if (code != 0xFF && code != 0x00 &&
-                    ((code >= 0xD0 && code <= 0xDD) || (code >= 0xE0 && code <= 0xEF))) {
-                    const int64_t start = i - 1;
-                    if (code >= 0xE1 && code <= 0xEF) {
-                        if (i + 2 < size) {
-                            const int64_t app_len = (int64_t(data[i + 1]) << 8) | data[i + 2];
-                            i += app_len;
-                        }
-                    } else if (code == 0xDA && payload_start == 0) {
-                        payload_start = start;
-                    }
-                }
-                if (code != 0xFF) i++;
-            }
+    int64_t pos = 0;
+    while (pos < size) {
+        const uint8_t* ff =
+            (const uint8_t*)memchr(data + pos, 0xFF, (size_t)(size - pos));
+        if (ff == nullptr) break;
+        const int64_t p = ff - data;
+        if (p + 1 >= size) break;
+        const uint8_t code = data[p + 1];
+        if (code == 0xFF) {           // fill byte: the next FF may itself
+            pos = p + 1;              // start the marker
+        } else if (code >= 0xE1 && code <= 0xEF) {
+            // APPn: hop over the declared segment body (big-endian length
+            // counts its own two bytes); truncated length field → fall
+            // through to a plain byte scan past the code
+            pos = (p + 3 < size)
+                ? p + 2 + ((int64_t(data[p + 2]) << 8) | data[p + 3])
+                : p + 2;
+        } else if (code == 0xDA) {
+            return p;                 // first start-of-scan wins
+        } else {
+            pos = p + 2;              // any other code: scan on
         }
     }
-    return payload_start;
+    return 0;
 }
 
 // ---------------------------------------------------------------------------
 // 2. video hash-run window compression
 // ---------------------------------------------------------------------------
 
-// Compress a per-frame hash run: frame 0 always retained; a frame is
-// retained when at least one window hash (since the last retained frame)
-// differs by >= threshold; the final frame is always appended.  Matches the
-// reference semantics exactly, including the empty-window drop of frame 1.
-// out_frames/out_hashes must have capacity n+1.  Returns retained count.
+// Compress a per-frame hash run: frame 0 always retained; frame i >= 1 is
+// retained exactly when some frame in the comparison window — every frame
+// since (and including) the last retained one, or since frame 1 if none —
+// sits at Hamming distance >= threshold from it.  The final frame is always
+// appended.  Retention quirks pinned by tests/test_video.py: frame 1 is
+// never retained (its window is empty), and the window restarts AT the
+// retained frame, not after it.
+//
+// The window is always the contiguous run hashes[win_lo .. i-1], so two
+// indexes replace the reference's materialized vector, and the existence
+// test short-circuits on the first far member instead of counting close
+// ones.  out_frames/out_hashes must have capacity n+1.  Returns count.
 EXPORT int64_t cbird_window_compress(const uint64_t* hashes, int64_t n,
                                      int threshold, int32_t* out_frames,
                                      uint64_t* out_hashes) {
@@ -104,33 +119,36 @@ EXPORT int64_t cbird_window_compress(const uint64_t* hashes, int64_t n,
     int64_t count = 0;
     out_frames[count] = 0;
     out_hashes[count] = hashes[0];
-    count++;
-    std::vector<uint64_t> window;
-    window.reserve(64);
-    for (int64_t i = 1; i < n; ++i) {
-        const uint64_t h = hashes[i];
-        if (threshold > 0) {
-            size_t close = 0;
-            for (uint64_t prev : window)
-                if (popcount64(prev ^ h) < threshold) close++;
-            if (close != window.size()) {
-                window.clear();
+    ++count;
+    if (threshold <= 0) {  // no compression: every frame retained
+        for (int64_t i = 1; i < n; ++i) {
+            out_frames[count] = (int32_t)i;
+            out_hashes[count] = hashes[i];
+            ++count;
+        }
+    } else {
+        int64_t win_lo = 1;  // comparison window = hashes[win_lo .. i-1]
+        for (int64_t i = 1; i < n; ++i) {
+            const uint64_t h = hashes[i];
+            bool cut = false;
+            for (int64_t j = win_lo; j < i; ++j) {
+                if (popcount64(hashes[j] ^ h) >= threshold) {
+                    cut = true;
+                    break;
+                }
+            }
+            if (cut) {
                 out_frames[count] = (int32_t)i;
                 out_hashes[count] = h;
-                count++;
+                ++count;
+                win_lo = i;  // window restarts at the retained frame
             }
-            window.push_back(h);
-        } else {
-            out_frames[count] = (int32_t)i;
-            out_hashes[count] = h;
-            count++;
         }
     }
-    const int32_t last = (int32_t)(n - 1);
-    if (out_frames[count - 1] != last) {
-        out_frames[count] = last;
-        out_hashes[count] = window.empty() ? hashes[n - 1] : window.back();
-        count++;
+    if (out_frames[count - 1] != (int32_t)(n - 1)) {
+        out_frames[count] = (int32_t)(n - 1);
+        out_hashes[count] = hashes[n - 1];
+        ++count;
     }
     return count;
 }

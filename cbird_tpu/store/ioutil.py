@@ -89,32 +89,30 @@ def jpeg_payload(data: bytes) -> bytes:
     """
     from ..native import jpeg_payload_offset
     off = jpeg_payload_offset(data)
-    if off is not None:  # native marker walk (pure-Python loop below is slow)
+    if off is not None:  # native memchr scan (no bytecode per byte)
         return data[off:] if off else data
-    i = 0
-    payload_start = 0
+    # fallback: same marker-hop scan via bytes.find — jump from 0xFF to
+    # 0xFF instead of walking every byte.  Contract notes in
+    # native/cbird_host.cpp::cbird_jpeg_payload_offset; byte-level
+    # semantics pinned by tests/test_ioutil.py.
     size = len(data)
-    while i < size:
-        if data[i] == 0xFF:
-            i += 1
-            if i < size:
-                code = data[i]
-                if code != 0xFF and code != 0x00 and (
-                        0xD0 <= code <= 0xDD or 0xE0 <= code <= 0xEF):
-                    start = i - 1
-                    if 0xE1 <= code <= 0xEF:
-                        if i + 2 < size:
-                            app_len = (data[i + 1] << 8) | data[i + 2]
-                            i += app_len
-                    elif code == 0xDA and payload_start == 0:
-                        payload_start = start
-                if code != 0xFF:
-                    i += 1
+    pos = 0
+    while True:
+        p = data.find(0xFF, pos)
+        if p < 0 or p + 1 >= size:
+            return data
+        code = data[p + 1]
+        if code == 0xFF:  # fill byte: next FF may start the marker
+            pos = p + 1
+        elif 0xE1 <= code <= 0xEF:  # APPn: hop the declared body
+            if p + 3 < size:
+                pos = p + 2 + ((data[p + 2] << 8) | data[p + 3])
+            else:
+                pos = p + 2
+        elif code == 0xDA:  # first start-of-scan wins
+            return data[p:] if p else data
         else:
-            i += 1
-    if payload_start:
-        return data[payload_start:]
-    return data
+            pos = p + 2
 
 
 def image_content_md5(data: bytes) -> tuple[str, bool, bool]:

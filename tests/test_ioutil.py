@@ -70,3 +70,34 @@ def test_write_file_atomically(tmp_path):
     assert target.read_bytes() == b"world"
     # no temp litter
     assert os.listdir(tmp_path / "sub") == ["file.bin"]
+
+
+def test_jpeg_payload_native_python_parity():
+    """The native memchr scan and the pure-Python find() fallback must
+    return identical payloads on arbitrary marker soup (both rebuild the
+    reference's offset semantics, src/scanner.cpp:927-964)."""
+    from cbird_tpu import native
+    from cbird_tpu.store import ioutil
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no native lib/compiler in this environment")
+
+    def python_payload(data: bytes) -> bytes:
+        import unittest.mock as mock
+        with mock.patch.object(ioutil, "jpeg_payload", ioutil.jpeg_payload):
+            with mock.patch("cbird_tpu.native.jpeg_payload_offset",
+                            lambda d: None):
+                return ioutil.jpeg_payload(data)
+
+    rng = np.random.default_rng(42)
+    cases = [_make_jpeg(), b"", b"\xff", b"\xff\xda", b"\xff\xffxyz",
+             b"\xff\xe1\x00\x04ab\xff\xda123", b"\xff\xe1\xff",
+             b"\xff\xe1\x00\x00\xff\xda", b"\x00" * 16]
+    for _ in range(200):  # FF-dense soup exercises every branch
+        n = int(rng.integers(0, 64))
+        raw = rng.integers(0, 256, n).astype(np.uint8)
+        raw[rng.random(n) < 0.3] = 0xFF
+        cases.append(raw.tobytes())
+    for data in cases:
+        assert python_payload(data) == ioutil.jpeg_payload(data), data.hex()
