@@ -46,6 +46,12 @@ def run_accuracy(root: str, n_base: int = 40,
     # ~3 min to compile on one CPU core)
     cache = os.environ.get("CBIRD_COMPILE_CACHE",
                            os.path.join(repo, "tests", ".jax_cache"))
+    # CBIRD_PLATFORM=cpu forces the CPU backend even when a site hook pins
+    # jax_platforms at interpreter start (same contract as the CLI)
+    plat = os.environ.get("CBIRD_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     if cache != "off":
         import jax
         jax.config.update("jax_compilation_cache_dir", cache)

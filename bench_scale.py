@@ -206,6 +206,36 @@ def bench_n2(n=500_000, dups=2_000):
           f"{dt:.2f} s, {groups} needles matched{ref}")
 
 
+def bench_colorn2(n=None, needle_batch=1024):
+    """Color N² self-search (VERDICT r03 #5): the reference DNFs color
+    -similar at 500k (readme.md:293 — O(N·N) single-threaded CPU scan of
+    the 32-color min-dist sum).  Pass sizes on the CLI:
+    ``python bench_scale.py colorn2 50000 200000 1000000``."""
+    import sys as _sys
+    from cbird_tpu.ops.color import NUM_COLORS, PackedColorStore, quantize_luv
+    sizes = [int(a) for a in _sys.argv[2:]] or [n or 50_000]
+    rng = np.random.default_rng(1)
+    n_max = max(sizes)
+    descs = np.zeros((n_max, NUM_COLORS + 1, 4), dtype=np.uint16)
+    luv = np.stack([rng.uniform(5, 95, (n_max, NUM_COLORS)),
+                    rng.uniform(-80, 80, (n_max, NUM_COLORS)),
+                    rng.uniform(-80, 80, (n_max, NUM_COLORS))], axis=-1)
+    descs[:, :NUM_COLORS, :3] = quantize_luv(luv.astype(np.float32))
+    descs[:, :NUM_COLORS, 3] = 100
+    descs[:, NUM_COLORS, 0] = rng.integers(29, 32, n_max)  # worst case: no
+    # numColors rejection partitioning (real corpora mostly saturate at 31)
+    for sz in sizes:
+        store = PackedColorStore()
+        store.add(descs[:sz], np.arange(1, sz + 1, dtype=np.uint32))
+        t0 = time.perf_counter()
+        res = store.search_self(k=16, needle_batch=needle_batch, sparse=True)
+        dt = time.perf_counter() - t0
+        rate = sz * sz / dt
+        print(f"colorn2: {sz / 1e3:.0f}k x {sz / 1e3:.0f}k self-search in "
+              f"{dt:.1f} s ({rate / 1e9:.2f} G pairs/s, {len(res)} hot rows"
+              f"; reference: DNF at 500k)", flush=True)
+
+
 def bench_ingest(n_videos=8, frames=400, workers=(1, 2, 4)):
     """Concurrent video ingest (engine path): decode workers feed the
     shared device hasher; throughput should scale with workers until the
@@ -239,6 +269,8 @@ def bench_ingest(n_videos=8, frames=400, workers=(1, 2, 4)):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["dct", "color", "orb", "fdct", "video"]
+    # numeric args are sizes consumed by the named bench, not bench names
+    which = [a for a in sys.argv[1:] if not a.isdigit()] \
+        or ["dct", "color", "orb", "fdct", "video"]
     for name in which:
         globals()[f"bench_{name}"]()

@@ -104,6 +104,24 @@ class ColorDescIndex(Index):
             out.append([Match(int(i), int(s)) for i, s in zip(ids, scores)])
         return out
 
+    def find_all(self, params: SearchParams):
+        """-similar N² for color straight off the packed store: needle
+        blocks are the store's own rows (no Media object per DB row), the
+        same chunked top-k kernel as find_batch scores them windowed-async.
+        The reference DNFs color -similar at 500k (readme.md:293); group
+        parity with the per-needle path is pinned by
+        tests/test_color.py::test_color_find_all_matches_find_batch.
+        Color has no distance threshold, so k stays near maxMatches to
+        bound the [N, k] readback (the CLI group caps at maxMatches)."""
+        if not params.filterSelf:
+            return None
+        ids = self._store.ids
+        if not len(ids):
+            return ids, []
+        k = params.maxMatches + 8  # self-hit + group cap + tie margin
+        raw = self._store.search_self(k=k, sparse=True)
+        return ids, raw
+
     def find_index_data(self, media: Media) -> bool:
         if media.id and media.colorDescriptor is None:
             hits = np.nonzero(self._store.ids == media.id)[0]

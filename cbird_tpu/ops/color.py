@@ -423,15 +423,42 @@ class PackedColorStore:
                              jnp.asarray(valid))
         return self._dev
 
+    def _dispatch_topk(self, ncol: np.ndarray, ncnt: np.ndarray, k: int):
+        """One async device top-k launch for a fixed-shape needle block."""
+        from .hamming import _search_mesh
+        colors_d, counts_d, valid_d = self._device()
+        mesh = _search_mesh()
+        if mesh is not None:
+            from ..parallel.sharded import sharded_color_topk
+            return sharded_color_topk(mesh, jnp.asarray(ncol),
+                                      jnp.asarray(ncnt), colors_d, counts_d,
+                                      valid_d, k=k)
+        return color_topk(jnp.asarray(ncol), jnp.asarray(ncnt),
+                          colors_d, counts_d, valid_d, k=k)
+
+    def _drain(self, pending, results):
+        """Read back one dispatched block into per-needle (ids, scores)."""
+        qb, (scores, idx) = pending.popleft()
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        for row in range(qb):
+            hit = scores[row] < BAD_SCORE
+            results.append((self._ids[idx[row][hit]], scores[row][hit]))
+
     def search(self, needle_descs: Sequence[Optional[np.ndarray]], k: int = 64,
-               needle_batch: int = 64):
-        """@return per needle (ids, scores float32) sorted ascending."""
+               needle_batch: int = 64, window: int = 32):
+        """@return per needle (ids, scores float32) sorted ascending.
+
+        Blocks are dispatched ``window`` ahead of the readback so the
+        per-call host↔device round-trip (5-30 ms through a remote-TPU
+        tunnel) overlaps the device scans instead of serializing them."""
+        import collections
         q_total = len(needle_descs)
         empty = (np.zeros(0, np.uint32), np.zeros(0, np.float32))
         if q_total == 0 or len(self._ids) == 0:
             return [empty] * q_total
-        colors_d, counts_d, valid_d = self._device()
-        results = []
+        results: list = []
+        pending = collections.deque()
         for s in range(0, q_total, needle_batch):
             chunk = needle_descs[s:s + needle_batch]
             qb = len(chunk)
@@ -441,19 +468,60 @@ class PackedColorStore:
                 if dsc is not None:
                     ncol[n] = dequantize_luv(dsc[:NUM_COLORS, :3])
                     ncnt[n] = dsc[NUM_COLORS, 0]
-            from .hamming import _search_mesh
-            mesh = _search_mesh()
-            if mesh is not None:
-                from ..parallel.sharded import sharded_color_topk
-                scores, idx = sharded_color_topk(
-                    mesh, jnp.asarray(ncol), jnp.asarray(ncnt),
-                    colors_d, counts_d, valid_d, k=k)
-            else:
-                scores, idx = color_topk(jnp.asarray(ncol), jnp.asarray(ncnt),
-                                         colors_d, counts_d, valid_d, k=k)
+            pending.append((qb, self._dispatch_topk(ncol, ncnt, k)))
+            if len(pending) >= window:
+                self._drain(pending, results)
+        while pending:
+            self._drain(pending, results)
+        return results
+
+    def search_self(self, k: int = 16, needle_batch: int = 1024,
+                    sparse: bool = False):
+        """N² color search: every store row scored against the whole store.
+
+        The reference DNFs this at 500k (readme.md:293 — its O(N·N) CPU
+        scan, src/colordescindex.cpp:249-278, has no batch parallelism);
+        here the needles are the store's own rows streamed through the
+        same chunked top-k kernel as ``search`` in wide batches, windowed-
+        async.  Color distance has no cut threshold (any |numColors| diff
+        ≤ 2 scores), so unlike the Hamming N² every live row has matches —
+        the result is inherently dense; k stays small (the CLI caps groups
+        at maxMatches anyway) to bound the [N, k] readback.
+
+        @return {row: (ids, scores)} when sparse else a dense list."""
+        import collections
+        n = len(self._ids)
+        if n == 0:
+            return {} if sparse else []
+        out: dict = {}
+        pending = collections.deque()
+
+        def drain():
+            s, qb, (scores, idx) = pending.popleft()
             scores = np.asarray(scores)
             idx = np.asarray(idx)
             for row in range(qb):
                 hit = scores[row] < BAD_SCORE
-                results.append((self._ids[idx[row][hit]], scores[row][hit]))
-        return results
+                if hit.any():
+                    out[s + row] = (self._ids[idx[row][hit]],
+                                    scores[row][hit])
+
+        for s in range(0, n, needle_batch):
+            qb = min(needle_batch, n - s)
+            block = self._descs[s:s + qb]
+            ncol = np.zeros((needle_batch, NUM_COLORS, 3), dtype=np.float32)
+            ncnt = np.zeros(needle_batch, dtype=np.int32)
+            ncol[:qb] = dequantize_luv(block[:, :NUM_COLORS, :3])
+            ncnt[:qb] = block[:, NUM_COLORS, 0]
+            ncnt[:qb][self._ids[s:s + qb] == 0] = 0  # tombstones never match
+            pending.append((s, qb, self._dispatch_topk(ncol, ncnt, k)))
+            if len(pending) >= 32:
+                drain()
+        while pending:
+            drain()
+        if sparse:
+            return out
+        dense = [(np.zeros(0, np.uint32), np.zeros(0, np.float32))] * n
+        for r, v in out.items():
+            dense[r] = v
+        return dense

@@ -220,6 +220,28 @@ def test_fdct_find_all_matches_find_batch(contract_engine, monkeypatch):
         assert canon(fast) == canon(slow), maxth
 
 
+def test_color_find_all_matches_find_batch(contract_engine, monkeypatch):
+    """-similar -p.alg color through the store-level N²
+    (ColorDescIndex.find_all: search_self over the packed descriptor rows)
+    must yield the same groups as the per-needle find_batch path (VERDICT
+    r03 #5; the reference DNFs color -similar at scale, readme.md:293)."""
+    eng, root, groups = contract_engine
+
+    def canon(res):
+        return sorted((g[0].path,
+                       tuple(sorted((m.path, m.score) for m in g[1:])))
+                      for g in res)
+
+    from cbird_tpu.index.color_desc_index import ColorDescIndex
+    sp = _params_for("color")
+    fast = eng.db.similar(sp)
+    assert fast, "streamed color N² found no groups"
+    with monkeypatch.context() as mp:
+        mp.setattr(ColorDescIndex, "find_all", lambda self, params: None)
+        slow = eng.db.similar(sp)
+    assert canon(fast) == canon(slow)
+
+
 def test_dct_hash_flat_cache(tmp_path, monkeypatch):
     """The dct store persists a flat sidecar cache like the feature
     indexes (index/cache.py): a fresh engine loads identical arrays from
