@@ -59,6 +59,13 @@ body { background:#1e1e24; color:#ddd; font-family:sans-serif; margin:1em; }
         border:1px solid #555; }
 .pane img { transform-origin:0 0; max-width:none; display:block; }
 .keyhelp { font-size:.7em; color:#888; }
+.ftable { border-collapse:collapse; margin:.6em 0; width:100%; }
+.ftable th { cursor:pointer; text-align:left; padding:.3em .8em;
+             background:#2a2a33; position:sticky; top:0; user-select:none; }
+.ftable th:hover { background:#3a3a4a; }
+.ftable td { padding:.25em .8em; border-top:1px solid #333; }
+.ftable tr { cursor:pointer; }
+.ftable tr:hover td { background:#3a3a4a; }
 .item img { max-width:256px; max-height:256px; display:block; }
 .meta { font-size:.75em; color:#aaa; word-break:break-all; }
 .score { color:#4a9; font-weight:bold; }
@@ -115,6 +122,9 @@ document.addEventListener('keydown', async (e) => {
   const k = e.key, ov = document.getElementById('overlay');
   if (k === 'Escape') { ov.style.display = 'none'; return; }
   if ((k === 'Backspace' || k === 'u') && MODE !== 'normal') {
+    await showIndex(); e.preventDefault(); return; }
+  if (k === 't' && MODE !== 'normal' && curSet === null && lastData === null) {
+    idxView = idxView === 'table' ? 'cards' : 'table';
     await showIndex(); e.preventDefault(); return; }
   if (k === 'Enter') {
     const s = selected();
@@ -228,28 +238,81 @@ async function selectGroup(i) {
   await api('/api/select', {index: i});
   document.body.innerHTML = '<h1>selected group ' + i + '</h1>';
 }
+let idxData = null, idxView = null, idxSort = {col: 'key', asc: true};
+function fmtBytes(b) {
+  if (b >= 1e9) return (b / 1e9).toFixed(2) + ' GB';
+  if (b >= 1e6) return (b / 1e6).toFixed(1) + ' MB';
+  return (b / 1e3).toFixed(0) + ' kB';
+}
+function renderIndexTable(c, d) {
+  // sortable folder table (the reference MediaGroupTableWidget workflow:
+  // rank folders by count/size/score and triage top-down)
+  const cols = [['key', 'folder'], ['groups', 'groups'], ['items', 'items'],
+                ['bytes', 'size'], ['mpix', 'avg MP'], ['score', 'best score']];
+  const s = idxSort;
+  const ents = d.entries.slice().sort((a, b) => {
+    const x = a[s.col], y = b[s.col];
+    const r = (typeof x === 'string')
+      ? x.localeCompare(y) : (x - y);
+    return s.asc ? r : -r;
+  });
+  const t = document.createElement('table');
+  t.className = 'ftable';
+  const hr = document.createElement('tr');
+  for (const [col, label] of cols) {
+    const th = document.createElement('th');
+    th.textContent = label + (s.col === col ? (s.asc ? ' ▲' : ' ▼') : '');
+    th.onclick = () => {
+      if (s.col === col) s.asc = !s.asc;
+      else { s.col = col; s.asc = (col === 'key'); }
+      showIndex();
+    };
+    hr.appendChild(th);
+  }
+  t.appendChild(hr);
+  for (const en of ents) {
+    const tr = document.createElement('tr');
+    tr.innerHTML = '<td>' + esc(en.key) + '</td><td>' + en.groups +
+      '</td><td>' + en.items + '</td><td data-n="' + en.bytes + '">' +
+      fmtBytes(en.bytes) + '</td><td>' + en.mpix.toFixed(2) + '</td><td>' +
+      (en.score < 0 ? '—' : en.score) + '</td>';
+    tr.onclick = async () => { curSet = en.key; await load(0);
+      selG = 0; selI = 1; highlight(); };
+    t.appendChild(tr);
+  }
+  c.appendChild(t);
+}
 async function showIndex() {
-  const d = await api('/api/index');
+  const d = idxData || (idxData = await api('/api/index'));
   curSet = null;
   lastData = null;  // index cards have no selectable items — destructive
                     // keys must not act on the previous group view
+  if (idxView === null) idxView = d.entries.length > 24 ? 'table' : 'cards';
   document.getElementById('title').textContent =
     d.title + ' — ' + d.entries.length + ' ' + d.mode;
   const c = document.getElementById('groups');
   c.innerHTML = '';
-  const row = document.createElement('div');
-  row.className = 'items';
-  for (const en of d.entries) {
-    const it = document.createElement('div');
-    it.className = 'item folder';
-    it.innerHTML = '<img loading="lazy" src="/thumb/' + en.thumb + '">' +
-      '<div class="meta">' + esc(en.key) + '<br>' + en.groups +
-      ' groups, ' + en.items + ' items</div>';
-    it.onclick = async () => { curSet = en.key; await load(0);
-      selG = 0; selI = 1; highlight(); };
-    row.appendChild(it);
+  const tog = document.createElement('button');
+  tog.textContent = idxView === 'table' ? 'cards view (t)' : 'table view (t)';
+  tog.onclick = () => { idxView = idxView === 'table' ? 'cards' : 'table';
+    showIndex(); };
+  c.appendChild(tog);
+  if (idxView === 'table') { renderIndexTable(c, d); }
+  else {
+    const row = document.createElement('div');
+    row.className = 'items';
+    for (const en of d.entries) {
+      const it = document.createElement('div');
+      it.className = 'item folder';
+      it.innerHTML = '<img loading="lazy" src="/thumb/' + en.thumb + '">' +
+        '<div class="meta">' + esc(en.key) + '<br>' + en.groups +
+        ' groups, ' + en.items + ' items, ' + fmtBytes(en.bytes) + '</div>';
+      it.onclick = async () => { curSet = en.key; await load(0);
+        selG = 0; selI = 1; highlight(); };
+      row.appendChild(it);
+    }
+    c.appendChild(row);
   }
-  c.appendChild(row);
   document.getElementById('prev').disabled = true;
   document.getElementById('next').disabled = true;
 }
@@ -327,7 +390,7 @@ def _page_html(title: str, token: str = "", mode: str = "normal",
 <div class='keyhelp'>keys: j/k group &middot; h/l item &middot; n/p page &middot;
 d delete &middot; f replace &middot; r rename &middot; m move &middot;
 w weed &middot; x not-a-match &middot; c compare &middot; g quality &middot;
-o open &middot; u index &middot; Esc close</div>
+o open &middot; u index &middot; t table/cards &middot; Esc close</div>
 <div id='overlay' style='display:none'></div>
 <div id='groups'></div>
 <script>const TOKEN={json.dumps(token)};const MODE={json.dumps(mode)};
@@ -422,6 +485,7 @@ class BrowserState:
         self.removed: set[int] = set()
         self.lock = threading.Lock()
         self._quality: dict[int, int] = {}
+        self._fsize_cache: dict[int, int] = {}
         self._tmatcher = None  # lazy TemplateMatcher (compiles ORB on use)
         self._media: dict[int, Media] = {}
         for g in self.groups:
@@ -442,17 +506,40 @@ class BrowserState:
                    // self.max_per_page)
 
     def index_payload(self) -> dict:
-        """Top-level folder/set cards (the reference's showIndex view)."""
+        """Top-level folder/set cards (the reference's showIndex view).
+
+        Entries carry the sortable-table columns of the reference's
+        MediaGroupTableWidget workflow (src/gui/mediagrouptablewidget.cpp:
+        path/megapixels/score/size columns over a folder's contents):
+        total bytes, mean megapixels, and best (lowest) match score per
+        folder, so a 500-folder result can be ranked by any of them."""
         entries = []
         for key in self.index_keys:
             glist = self.sets[key]
+            members = [m for g in glist for m in g]
+            mp = [m.width * m.height for m in members
+                  if m.width > 0 and m.height > 0]
+            scores = [m.score for m in members if m.score >= 0]
             entries.append({
                 "key": key,
                 "groups": len(glist),
-                "items": sum(len(g) for g in glist),
+                "items": len(members),
+                "bytes": sum(self._file_size(m) for m in members),
+                "mpix": round(sum(mp) / len(mp) / 1e6, 2) if mp else 0.0,
+                "score": min(scores) if scores else -1,
                 "thumb": glist[0][0].id if glist and glist[0] else 0,
             })
         return {"title": self.title, "mode": self.mode, "entries": entries}
+
+    def _file_size(self, m: Media) -> int:
+        sz = self._fsize_cache.get(m.id)
+        if sz is None:
+            try:
+                sz = m.file_size()
+            except OSError:
+                sz = 0
+            self._fsize_cache[m.id] = sz
+        return sz
 
     def page_payload(self, page: int, set_key: str | None = None) -> dict:
         view = self._view_groups(set_key)

@@ -332,6 +332,11 @@ def test_browser_index_view_and_select(browser):
         assert data["entries"], data
         en = data["entries"][0]
         assert en["groups"] >= 1 and en["thumb"] > 0
+        # sortable folder-table columns (reference MediaGroupTableWidget
+        # workflow): every entry carries bytes/mpix/score
+        for e in data["entries"]:
+            assert e["bytes"] > 0 and e["mpix"] > 0
+            assert isinstance(e["score"], int)
         from urllib.parse import quote
         status, body = _get(url + "api/groups?page=0&set=" + quote(en["key"]))
         sub = json.loads(body)
