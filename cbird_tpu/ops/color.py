@@ -268,29 +268,37 @@ def _color_scores(n_colors, n_counts, h_colors, h_counts, h_valid):
 
     distance(a,b) = 1 + Σ_i min_j ‖a_i − b_j‖ where a is the side with more
     colors; rejected when |numA−numB| > 2 or either is 0
-    (reference src/cvutil.cpp:682-748)."""
-    g = jnp.einsum("qid,njd->qinj", n_colors, h_colors,
-                   precision=jax.lax.Precision.HIGHEST)
-    a2 = jnp.sum(n_colors * n_colors, axis=-1)  # [Q,32]
-    b2 = jnp.sum(h_colors * h_colors, axis=-1)  # [N,32]
-    d2 = a2[:, :, None, None] + b2[None, None, :, :] - 2.0 * g
-    d = jnp.sqrt(jnp.maximum(d2, 0.0))  # [Q,32,N,32]
-    # the a²+b²−2ab expansion loses ~eps·|luv|² to f32 cancellation, which
-    # inflates exact-match distances by ~0.05/color; floor those to zero
-    # (Luv distances < 0.06 are far below perceptual difference)
-    d = jnp.where(d < 0.06, 0.0, d)
+    (reference src/cvutil.cpp:682-748).
 
+    The pairwise squared distances come from a broadcast subtraction, NOT
+    the a²+b²−2ab matmul form: XLA fuses the [Q,32,C,32,(3)] elementwise
+    producer straight into the min-reductions, so no pairwise tensor ever
+    reaches HBM — the dot-product form materializes a [Q·32, C·32] product
+    (16 GB at Q=1024, C=4096: OOM) and runs HBM-bound.  It is also exact
+    where the expansion lost ~eps·|luv|² to cancellation; the 0.06 floor
+    is kept for score-compat with indexes built before the switch.  sqrt
+    and the floor are monotone, so they commute with the min and run on
+    the small [.., C] minima instead of per pair."""
     iq = jnp.arange(NUM_COLORS)
     mask_n = iq[None, :] < n_counts[:, None]  # [Q,32]
-    mask_h = iq[None, :] < h_counts[:, None]  # [N,32]
-
+    mask_h = iq[None, :] < h_counts[:, None]  # [C,32]
     inf = jnp.float32(3.0e38)
+
+    diff = n_colors[:, :, None, None, :] - h_colors[None, None, :, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)  # [Q,32,C,32] — fused, never stored
+
+    def finish(m2):
+        d = jnp.sqrt(jnp.maximum(m2, 0.0))
+        return jnp.where(d < 0.06, 0.0, d)
+
     # needle side sums (needle has >= colors): min over haystack colors
-    min_j = jnp.min(jnp.where(mask_h[None, None, :, :], d, inf), axis=3)  # [Q,32,N]
-    s_ab = jnp.sum(jnp.where(mask_n[:, :, None], min_j, 0.0), axis=1)  # [Q,N]
+    min_j = finish(jnp.min(jnp.where(mask_h[None, None, :, :], d2, inf),
+                           axis=3))  # [Q,32,C]
+    s_ab = jnp.sum(jnp.where(mask_n[:, :, None], min_j, 0.0), axis=1)  # [Q,C]
     # haystack side sums
-    min_i = jnp.min(jnp.where(mask_n[:, :, None, None], d, inf), axis=1)  # [Q,N,32]
-    s_ba = jnp.sum(jnp.where(mask_h[None, :, :], min_i, 0.0), axis=2)  # [Q,N]
+    min_i = finish(jnp.min(jnp.where(mask_n[:, :, None, None], d2, inf),
+                           axis=1))  # [Q,C,32]
+    s_ba = jnp.sum(jnp.where(mask_h[None, :, :], min_i, 0.0), axis=2)  # [Q,C]
 
     score = 1.0 + jnp.where(n_counts[:, None] >= h_counts[None, :], s_ab, s_ba)
     reject = ((n_counts[:, None] == 0) | (h_counts[None, :] == 0)
