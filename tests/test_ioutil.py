@@ -11,6 +11,10 @@ from cbird_tpu.store.ioutil import (find_jpeg_marker, full_md5,
                                     image_content_md5, jpeg_payload,
                                     write_file_atomically)
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _make_jpeg(exif: bytes | None = None) -> bytes:
     img = Image.fromarray(

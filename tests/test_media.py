@@ -7,6 +7,10 @@ from cbird_tpu.store.media import (Media, archive_paths, expand_group_list,
                                    group_by, is_archived, merge_group_list,
                                    property_func, sort_group, sort_group_list)
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def test_archive_paths():
     assert is_archived("/a/b.zip:member.jpg")

@@ -25,6 +25,8 @@ XMP = b"""<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>
  </rdf:RDF>
 </x:xmpmeta>"""
 
+pytestmark = pytest.mark.smoke
+
 
 def _iptc_app13(datasets):
     """Hand-build a JPEG APP13 segment holding IPTC-IIM records

@@ -5,6 +5,8 @@ import pytest
 
 from cbird_tpu import native
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def lib():

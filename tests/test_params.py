@@ -5,6 +5,8 @@ import pytest
 
 from cbird_tpu.params import IndexParams, ParamError, SearchParams
 
+pytestmark = pytest.mark.smoke
+
 
 def test_search_defaults():
     p = SearchParams()

@@ -11,6 +11,8 @@ from cbird_tpu.utils.env import process_memory, system_memory
 
 from fixtures import make_corpus
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def indexed(tmp_path_factory):

@@ -17,6 +17,8 @@ from cbird_tpu.store.media import Media, property_func
 
 from fixtures import synth_image
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture()
 def mixed_dir(tmp_path):

@@ -11,6 +11,8 @@ from cbird_tpu.host.video import FseqBackend
 
 from test_video import make_frames
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def video_dir(tmp_path_factory):
