@@ -312,6 +312,88 @@ def _color_scores(n_colors, n_counts, h_colors, h_counts, h_valid):
     return jnp.where(reject, BAD_SCORE, score)
 
 
+def _color_scores_oneside(n_colors, n_counts, h_colors, h_counts, h_valid,
+                          side: str):
+    """[Q, C] scores when the asymmetric side is known per dispatch.
+
+    The general scorer computes BOTH directed sums and selects by
+    numColors comparison per pair (src/cvutil.cpp:694: the side with more
+    colors drives the Σ min).  The bucketed N² dispatches pairs whose
+    count relationship is uniform — ``side='ab'`` for h_counts ≤ n_counts,
+    ``'ba'`` for h_counts > n_counts — so only one min-reduction tree is
+    built, roughly halving the per-pair VPU work."""
+    iq = jnp.arange(NUM_COLORS)
+    mask_n = iq[None, :] < n_counts[:, None]  # [Q,32]
+    mask_h = iq[None, :] < h_counts[:, None]  # [C,32]
+    inf = jnp.float32(3.0e38)
+    d2 = None
+    for k in range(3):
+        dk = n_colors[:, :, None, None, k] - h_colors[None, None, :, :, k]
+        d2 = dk * dk if d2 is None else d2 + dk * dk  # [Q,32,C,32] fused
+
+    def finish(m2):
+        d = jnp.sqrt(jnp.maximum(m2, 0.0))
+        return jnp.where(d < 0.06, 0.0, d)
+
+    if side == "ab":  # needle has >= colors: Σ_i min_j
+        min_j = finish(jnp.min(jnp.where(mask_h[None, None, :, :], d2, inf),
+                               axis=3))  # [Q,32,C]
+        s = jnp.sum(jnp.where(mask_n[:, :, None], min_j, 0.0), axis=1)
+    else:  # haystack has more colors: Σ_j min_i
+        min_i = finish(jnp.min(jnp.where(mask_n[:, :, None, None], d2, inf),
+                               axis=1))  # [Q,C,32]
+        s = jnp.sum(jnp.where(mask_h[None, :, :], min_i, 0.0), axis=2)
+    reject = (n_counts[:, None] == 0) | ~h_valid[None, :]
+    return jnp.where(reject, BAD_SCORE, 1.0 + s)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "side", "super_chunk", "chunk"))
+def color_self_block(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
+                     hs_colors: jnp.ndarray, hs_counts: jnp.ndarray,
+                     hs_valid: jnp.ndarray, start: jnp.ndarray,
+                     lo: jnp.ndarray, hi: jnp.ndarray, k: int = 16,
+                     side: str = "ab", super_chunk: int = 1 << 16,
+                     chunk: int = 4096):
+    """One needle block vs one super_chunk window of the count-sorted store.
+
+    ``hs_*`` are the full store sorted by numColors; ``start`` (aligned)
+    selects the slice, ``[lo, hi)`` bounds the rows whose counts satisfy
+    the bucket relation for this dispatch — rows outside are masked, so
+    bucket boundaries need no alignment.  Returns ([Q,k] scores ascending,
+    [Q,k] indices into the SORTED order)."""
+    hc = jax.lax.dynamic_slice(
+        hs_colors, (start, 0, 0), (super_chunk, NUM_COLORS, 3))
+    hn = jax.lax.dynamic_slice(hs_counts, (start,), (super_chunk,))
+    hv = jax.lax.dynamic_slice(hs_valid, (start,), (super_chunk,))
+    gi = start + jnp.arange(super_chunk, dtype=jnp.int32)
+    hv = hv & (gi >= lo) & (gi < hi) & (hn > 0)
+    q = n_colors.shape[0]
+    k = min(k, super_chunk)
+    if super_chunk <= chunk:
+        score = _color_scores_oneside(n_colors, n_counts, hc, hn, hv, side)
+        neg, idx = jax.lax.top_k(-score, k)
+        return -neg, idx + start
+    n_chunks = super_chunk // chunk
+    hcc = hc.reshape(n_chunks, chunk, NUM_COLORS, 3)
+    hnc = hn.reshape(n_chunks, chunk)
+    hvc = hv.reshape(n_chunks, chunk)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    def body(_, inp):
+        hc_c, hn_c, hv_c, base = inp
+        score = _color_scores_oneside(n_colors, n_counts, hc_c, hn_c, hv_c,
+                                      side)
+        neg, idx = jax.lax.top_k(-score, k)
+        return None, (-neg, idx + base)
+
+    _, (ds, is_) = jax.lax.scan(body, None, (hcc, hnc, hvc, bases))
+    ds = jnp.moveaxis(ds, 0, 1).reshape(q, -1)
+    is_ = jnp.moveaxis(is_, 0, 1).reshape(q, -1)
+    neg, sel = jax.lax.top_k(-ds, k)
+    return -neg, jnp.take_along_axis(is_, sel, axis=1) + start
+
+
 def color_topk_local(n_colors: jnp.ndarray, n_counts: jnp.ndarray,
                      h_colors: jnp.ndarray, h_counts: jnp.ndarray,
                      h_valid: jnp.ndarray, k: int = 64, chunk: int = 4096):
@@ -493,19 +575,31 @@ class PackedColorStore:
         """N² color search: every store row scored against the whole store.
 
         The reference DNFs this at 500k (readme.md:293 — its O(N·N) CPU
-        scan, src/colordescindex.cpp:249-278, has no batch parallelism);
-        here the needles are the store's own rows streamed through the
-        same chunked top-k kernel as ``search`` in wide batches, windowed-
-        async.  Color distance has no cut threshold (any |numColors| diff
-        ≤ 2 scores), so unlike the Hamming N² every live row has matches —
-        the result is inherently dense; k stays small (the CLI caps groups
-        at maxMatches anyway) to bound the [N, k] readback.
+        scan, src/colordescindex.cpp:249-278, has no batch parallelism).
+        Default path: count-bucketed one-sided scan (_search_self_bucketed)
+        — the |numColors| ≤ 2 accept gate (src/cvutil.cpp:688) means a
+        needle bucket only ever scores 5 of the ~13 populated count values,
+        and within a (needle-count, haystack-count) pair the asymmetric
+        reduction side is fixed, so the kernel builds one min-tree instead
+        of two.  The unbucketed full scan remains for meshes (sharded row
+        layout) and as CBIRD_COLOR_BUCKETS=off for A/B.
 
         @return {row: (ids, scores)} when sparse else a dense list."""
-        import collections
+        import os as _os
+        from .hamming import _search_mesh
         n = len(self._ids)
         if n == 0:
             return {} if sparse else []
+        if (_search_mesh() is None
+                and _os.environ.get("CBIRD_COLOR_BUCKETS", "on") != "off"):
+            return self._search_self_bucketed(k, needle_batch, sparse)
+        return self._search_self_scan(k, needle_batch, sparse)
+
+    def _search_self_scan(self, k: int, needle_batch: int, sparse: bool):
+        """Unbucketed N²: store rows streamed through the same chunked
+        top-k kernel as ``search`` in wide batches, windowed-async."""
+        import collections
+        n = len(self._ids)
         out: dict = {}
         pending = collections.deque()
 
@@ -532,6 +626,116 @@ class PackedColorStore:
                 drain()
         while pending:
             drain()
+        if sparse:
+            return out
+        dense = [(np.zeros(0, np.uint32), np.zeros(0, np.float32))] * n
+        for r, v in out.items():
+            dense[r] = v
+        return dense
+
+    def _search_self_bucketed(self, k: int, needle_batch: int, sparse: bool,
+                              window: int = 32):
+        """Count-bucketed one-sided N² (see search_self).
+
+        The store is sorted once by numColors; each equal-count needle
+        bucket then scans two CONTIGUOUS ranges of the sorted order —
+        counts in [c−2, c] with the needle-side reduction and [c+1, c+2]
+        with the haystack-side one — in fixed-shape super_chunk slices
+        (color_self_block), windowed-async like the plain scan.  Per-block
+        partial top-ks merge on host; ties resolve by original row order
+        to match the unbucketed kernel."""
+        import collections
+        n = len(self._ids)
+        counts = self._descs[:, NUM_COLORS, 0].astype(np.int32)
+        counts = np.where(self._ids != 0, counts, 0)
+        order = np.argsort(counts, kind="stable").astype(np.int64)
+        sc = counts[order]
+        from .hamming import _bucket
+        super_chunk = min(1 << 16, _bucket(int(n), minimum=256))
+        chunk = min(4096, super_chunk)
+        qb_max = min(needle_batch, _bucket(int(n), minimum=64))
+        ns = -(-n // super_chunk) * super_chunk
+        colors_s = np.zeros((ns, NUM_COLORS, 3), np.float32)
+        colors_s[:n] = dequantize_luv(self._descs[order][:, :NUM_COLORS, :3])
+        cnt_s = np.zeros(ns, np.int32)
+        cnt_s[:n] = sc
+        val_s = np.zeros(ns, bool)
+        val_s[:n] = self._ids[order] != 0
+        hs_colors = jnp.asarray(colors_s)
+        hs_counts = jnp.asarray(cnt_s)
+        hs_valid = jnp.asarray(val_s)
+
+        out: dict = {}
+        pending = collections.deque()
+        # per needle block accumulation: dispatches for one block are
+        # contiguous in the deque, so older blocks finalize as soon as
+        # their last pending dispatch drains (bounds host memory to a few
+        # [qb, k·d] partials instead of all N/qb blocks)
+        acc: dict = {}
+        _idx: dict = {}
+
+        def finalize(key):
+            s, qb = key
+            ds = np.concatenate(acc.pop(key), axis=1)[:qb]
+            is_ = np.concatenate(_idx.pop(key), axis=1)[:qb]
+            orig = order[np.minimum(is_, n - 1)]
+            # tie order: score, then original row index (matches lax.top_k
+            # over the original-order store)
+            sel = np.lexsort((orig, ds), axis=1)[:, :k]
+            ds = np.take_along_axis(ds, sel, axis=1)
+            orig = np.take_along_axis(orig, sel, axis=1)
+            for row in range(qb):
+                hit = ds[row] < BAD_SCORE
+                if hit.any():
+                    out[int(order[s + row])] = (
+                        self._ids[orig[row][hit]].astype(np.uint32),
+                        ds[row][hit].astype(np.float32))
+
+        def drain():
+            key, (scores, idx) = pending.popleft()
+            acc.setdefault(key, []).append(np.asarray(scores))
+            _idx.setdefault(key, []).append(np.asarray(idx))
+
+        bounds = np.searchsorted(sc, np.arange(0, NUM_COLORS + 4))
+        done_keys: list = []
+        for c in np.unique(sc[sc > 0]):
+            c = int(c)
+            blo, bhi = bounds[c], bounds[c + 1]
+            ab_lo = int(bounds[max(c - 2, 1)])
+            ab_hi = int(bounds[c + 1])
+            ba_lo = int(bounds[c + 1])
+            ba_hi = int(bounds[min(c + 3, NUM_COLORS + 3)])
+            for s in range(int(blo), int(bhi), qb_max):
+                qb = min(qb_max, int(bhi) - s)
+                ncol = np.zeros((qb_max, NUM_COLORS, 3), np.float32)
+                ncnt = np.zeros(qb_max, np.int32)
+                ncol[:qb] = colors_s[s:s + qb]
+                ncnt[:qb] = cnt_s[s:s + qb]
+                ncol_d, ncnt_d = jnp.asarray(ncol), jnp.asarray(ncnt)
+                key = (s, qb)
+                done_keys.append(key)
+                for rlo, rhi, side in ((ab_lo, ab_hi, "ab"),
+                                       (ba_lo, ba_hi, "ba")):
+                    if rhi <= rlo:
+                        continue
+                    first = rlo // super_chunk * super_chunk
+                    for start in range(first, rhi, super_chunk):
+                        pending.append((key, color_self_block(
+                            ncol_d, ncnt_d, hs_colors, hs_counts, hs_valid,
+                            jnp.int32(start), jnp.int32(rlo), jnp.int32(rhi),
+                            k=k, side=side, super_chunk=super_chunk,
+                            chunk=chunk)))
+                        if len(pending) >= window:
+                            drain()
+                while len(done_keys) > 2:  # keep ≤2 blocks accumulating
+                    old = done_keys.pop(0)
+                    while any(p[0] == old for p in pending):
+                        drain()
+                    finalize(old)
+        while pending:
+            drain()
+        for key in done_keys:
+            finalize(key)
         if sparse:
             return out
         dense = [(np.zeros(0, np.uint32), np.zeros(0, np.float32))] * n

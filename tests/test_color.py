@@ -143,3 +143,39 @@ def test_color_index_end_to_end(rng, tmp_path):
                os.path.basename(m.path) == base + ".png" for m in group[1:]):
             twins += 1
     assert twins >= len(result) // 2
+
+
+def test_search_self_bucketed_matches_scan(rng, monkeypatch):
+    """The count-bucketed one-sided N² (PackedColorStore._search_self_bucketed)
+    must return the same hits as the unbucketed full scan for every row,
+    across mixed numColors, tombstones, and zero-count rows."""
+    from cbird_tpu.ops.color import PackedColorStore, quantize_luv
+
+    n = 300
+    descs = np.zeros((n, NUM_COLORS + 1, 4), dtype=np.uint16)
+    luv = np.stack([rng.uniform(5, 95, (n, NUM_COLORS)),
+                    rng.uniform(-80, 80, (n, NUM_COLORS)),
+                    rng.uniform(-80, 80, (n, NUM_COLORS))], axis=-1)
+    descs[:, :NUM_COLORS, :3] = quantize_luv(luv.astype(np.float32))
+    descs[:, :NUM_COLORS, 3] = 100
+    # spread counts over several buckets, incl. a zero-count row
+    descs[:, NUM_COLORS, 0] = rng.integers(24, 32, n)
+    descs[7, NUM_COLORS, 0] = 0
+    # plant near-duplicates so there are sub-threshold pairs
+    for s in range(0, 40, 2):
+        descs[s + 1] = descs[s]
+    store = PackedColorStore()
+    store.add(descs, np.arange(1, n + 1, dtype=np.uint32))
+    store.remove([5, 6])  # tombstones
+
+    monkeypatch.setenv("CBIRD_COLOR_BUCKETS", "off")
+    scan = store.search_self(k=12, sparse=True)
+    monkeypatch.setenv("CBIRD_COLOR_BUCKETS", "on")
+    fast = store.search_self(k=12, sparse=True)
+
+    assert set(scan) == set(fast)
+    for row in scan:
+        ids_a, sc_a = scan[row]
+        ids_b, sc_b = fast[row]
+        assert np.array_equal(ids_a, ids_b), row
+        np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5, atol=1e-4)
