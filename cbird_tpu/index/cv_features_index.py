@@ -239,11 +239,41 @@ class CvFeaturesIndex(Index):
         dists, ids = self._store.knn(flat, k=KNN)
         out: list[list[Match]] = []
         pos = 0
-        for nd in per_needle:
+        for needle, nd in zip(needles, per_needle):
             k = len(nd)
-            out.append(self._vote(dists[pos:pos + k], ids[pos:pos + k], params))
+            votes = self._vote(dists[pos:pos + k], ids[pos:pos + k], params)
+            out.append(self._gate(votes, needle.id, params))
             pos += k
         return out
+
+    # vote-gate constants measured on the accuracy corpus
+    # (experiments/orb_vote_gate.py, 280 needles x 40 bases): the best
+    # non-self match scores 32-300 while cross-base junk never scored
+    # below 2166 and trailing same-base matches reached 21.6x the best —
+    # gate at 25x with a 500 floor so a very strong best match cannot
+    # starve its own weaker true siblings.
+    GATE_FLOOR = 500
+
+    @staticmethod
+    def _gate(votes: list[Match], needle_id: int, params: SearchParams) -> list[Match]:
+        """Relative score gate (VERDICT r03 #7): keep matches scoring
+        ≤ max(FLOOR, cvGate · best-non-self score).
+
+        The reference keeps every voted candidate and relies on score
+        ordering to push cross-base junk last (src/cvfeaturesindex.cpp:
+        575-596) — with maxMatches result slots exceeding the true group
+        size, that junk fills the tail.  Junk and true scores separate by
+        ~10-60x relative to the needle's best match (data above), so an
+        adaptive cut beats any absolute threshold; -p.ovg 0 disables."""
+        r = getattr(params, "cvGate", 0)
+        if r <= 0 or len(votes) < 2:
+            return votes
+        others = [m.score for m in votes if m.mediaId != needle_id]
+        if not others:
+            return votes
+        cut = max(CvFeaturesIndex.GATE_FLOOR, r * min(others))
+        return [m for m in votes
+                if m.mediaId == needle_id or m.score <= cut]
 
     @staticmethod
     def _vote(dists: np.ndarray, ids: np.ndarray, params: SearchParams) -> list[Match]:

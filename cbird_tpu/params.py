@@ -244,6 +244,9 @@ class SearchParams(Params):
                   "dctThresh", range=(0, 65)),
         ParamSpec("odt", CAT_ALGO, "ORB descriptor distance threshold (orb)", INT,
                   "cvThresh", range=(0, 100)),
+        ParamSpec("ovg", CAT_ALGO, "ORB vote gate: drop matches scoring > R x the "
+                  "needle's best match, 0=off (orb)", INT, "cvGate",
+                  range=(0, INT_MAX)),
         ParamSpec("vradix", CAT_ALGO, "Divides the haystack by ~ 2^R but loses accuracy (video)",
                   INT, "videoRadix", range=(1, 24)),
         ParamSpec("vfm", CAT_ALGO, "Minimum number of frames matched per video", INT,
@@ -309,6 +312,7 @@ class SearchParams(Params):
         self.algo = self.ALGO_DCT
         self.dctThresh = 5
         self.cvThresh = 25
+        self.cvGate = 25
         self.minMatches = 1
         self.maxMatches = 5
         self.needleFeatures = 100

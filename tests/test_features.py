@@ -203,3 +203,35 @@ def test_flat_cache_roundtrip(feat_engine):
     # cache contents match the store arrays
     with np.load(os.path.join(cache_dir, "dctfeatures.npz")) as z:
         assert len(z["hashes"]) == len(z["ids"]) > 0
+
+
+def test_orb_vote_gate():
+    """The relative score gate keeps the true-match cluster and drops
+    cross-base junk scoring far above the needle's best match (constants
+    measured by experiments/orb_vote_gate.py; VERDICT r03 #7)."""
+    from cbird_tpu.index.base import Match
+    from cbird_tpu.index.cv_features_index import CvFeaturesIndex
+    from cbird_tpu.params import SearchParams
+
+    sp = SearchParams()
+    assert sp.cvGate == 25  # default on
+    needle_id = 1
+    votes = [Match(needle_id, 0), Match(2, 36), Match(3, 309),
+             Match(4, 772), Match(5, 9000)]  # 9000 = junk (>25x best 36)
+    out = CvFeaturesIndex._gate(votes, needle_id, sp)
+    assert [m.mediaId for m in out] == [1, 2, 3, 4]
+
+    # floor: a very strong best match must not starve weak true siblings
+    votes = [Match(2, 4), Match(3, 480)]
+    out = CvFeaturesIndex._gate(votes, needle_id, sp)
+    assert len(out) == 2
+
+    # junk-only result sets pass through (reference behavior: return them)
+    votes = [Match(2, 2166), Match(3, 24000)]
+    out = CvFeaturesIndex._gate(votes, needle_id, sp)
+    assert len(out) == 2
+
+    # -p.ovg 0 disables
+    sp.set_param("ovg", "0")
+    votes = [Match(2, 36), Match(3, 9000)]
+    assert len(CvFeaturesIndex._gate(votes, needle_id, sp)) == 2
