@@ -550,9 +550,11 @@ class PackedHashStore:
                 # measured at 2M/t=5 (falls back None outside its sweet
                 # spot — see ops/pigeonhole.py)
                 with profile_stage("self_search count (pigeonhole)"):
+                    ph_pairs, ph_valid = self._host_bucket_arrays()
                     sp = pigeonhole.self_counts_sparse(
                         pairs_dev, valid_dev, threshold,
-                        int(np.count_nonzero(self._ids)))
+                        int(np.count_nonzero(self._ids)),
+                        pairs_host=ph_pairs, valid_host=ph_valid)
                 if sp is not None:
                     hot, hot_counts = sp
             used_ph = hot is not None

@@ -151,6 +151,95 @@ def _sort_block_wide(pairs, valid, cmlo, cmhi):
     return slo, shi, srow, svalid, n_runs
 
 
+# above this many padded rows the count phase sorts on HOST by default:
+# the device sort program is a multi-MB sort-network executable whose
+# per-process load/compile through the axon tunnel measured 21-264 s at
+# 10M rows (pool-dependent, even on a LOCAL persistent-cache hit), while
+# numpy's radix argsort is a predictable ~3 s per 10.5M block and the
+# only device traffic is the [N] int32 order upload (42 MB at the
+# measured 14-34 MB/s tunnel upload rate) consumed by small gather/pad
+# programs.  One-shot CLI processes dominate -similar usage, so fixed
+# host cost beats the device-load lottery; warm processes (-serve,
+# tests, meshes) keep the device sort via CBIRD_PH_SORT=device.
+HOST_SORT_MIN = 1 << 22
+
+
+def _sort_mode() -> str:
+    return os.environ.get("CBIRD_PH_SORT", "auto").lower()
+
+
+def _sort_block_host(pairs, valid, mask: tuple[int, int], width: int):
+    """Host-side equivalent of _sort_block: numpy radix argsort of the
+    compacted block key with the same invalid-rows-sink-to-end semantics.
+    Returns (order int32, svalid bool, n_runs, change) — all HOST arrays;
+    tie order within equal keys may differ from the device sort, which
+    cannot change counts (within-run pair coverage and smaller-store-row
+    attribution are order-free; oversized runs go through the exact dense
+    tiles either way)."""
+    lo, hi = pairs[:, 0], pairs[:, 1]
+    mlo, mhi = mask
+    if width <= 32:
+        key = np.zeros(len(lo), np.uint32)
+        bit = 0
+        for p in range(64):
+            if (mlo if p < 32 else mhi) >> (p % 32) & 1:
+                w = lo if p < 32 else hi
+                key |= ((w >> np.uint32(p % 32)) & np.uint32(1)) \
+                    << np.uint32(bit)
+                bit += 1
+        key = np.where(valid, key, np.uint32(0xFFFFFFFF))
+        order = np.argsort(key, kind="stable").astype(np.int32)
+        key_s = key[order]
+        change = np.empty(len(key_s), bool)
+        change[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=change[1:])
+    else:  # threshold 1: the block is the whole 64-bit hash
+        klo = np.where(valid, lo & np.uint32(mlo), np.uint32(0xFFFFFFFF))
+        khi = np.where(valid, hi & np.uint32(mhi), np.uint32(0xFFFFFFFF))
+        order = np.lexsort((khi, klo)).astype(np.int32)
+        kl, kh = klo[order], khi[order]
+        change = np.empty(len(kl), bool)
+        change[0] = True
+        change[1:] = (kl[1:] != kl[:-1]) | (kh[1:] != kh[:-1])
+    svalid = valid[order]
+    n_runs = int(np.count_nonzero(change & svalid))
+    return order, svalid, n_runs, change
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _gather_pad(pairs, valid, order, *, s):
+    """Materialize the sorted block views ON DEVICE from the resident
+    store and an uploaded [N] int32 permutation: three gathers + pads.
+    Keeps host-sort device traffic to the one order array (42 MB at 10M)
+    instead of shipping slo/shi/srow/svalid (137 MB) — tunnel upload
+    measures 14-34 MB/s, so volume is the cost that matters."""
+    pad = ((0, s),)
+    return (jnp.pad(jnp.take(pairs[:, 0], order), pad),
+            jnp.pad(jnp.take(pairs[:, 1], order), pad),
+            jnp.pad(order, pad),
+            jnp.pad(jnp.take(valid, order), pad))
+
+
+def _pad_block_host(order, svalid_h, change, pairs_dev, valid_dev, *, s):
+    """Host-side _pad_block: the oversized-run boundary math runs on the
+    precomputed key-change mask (pure numpy, never uploaded); the sorted
+    device arrays come from _gather_pad off the uploaded order."""
+    n = len(order)
+    # key[i] == key[i+s] iff both positions share a run id (equal keys are
+    # contiguous after the sort, change marks run boundaries)
+    run_id = np.cumsum(change)
+    same = run_id[s:] == run_id[:-s]
+    os_start = change[:-s] & same & svalid_h[:-s]
+    change_next = np.empty(n - s, bool)
+    change_next[:-1] = change[s + 1:]
+    change_next[-1] = True
+    os_end = change_next & same & svalid_h[s:]
+    n_os = int(np.count_nonzero(os_start))
+    slo, shi, srow, svalid = _gather_pad(
+        pairs_dev, valid_dev, jnp.asarray(order), s=s)
+    return slo, shi, srow, svalid, os_start, os_end, n_os
+
+
 def _sort_block(pairs, valid, mask: tuple[int, int], width: int):
     """Sort the store by one block's masked bits.
 
@@ -349,10 +438,14 @@ def _pick_g(s: int, n_pad: int, mesh) -> int:
 
 
 def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
-                  *, s: int = 0, g: int = 0, mesh=None):
+                  *, s: int = 0, g: int = 0, mesh=None,
+                  pairs_host=None, valid_host=None):
     """Device-resident core of the count phase: returns the [n_pad] int32
     counts WITHOUT reading them back (a full-counts readback through the
-    axon tunnel costs seconds at 10M rows), or None out of sweet spot."""
+    axon tunnel costs seconds at 10M rows), or None out of sweet spot.
+
+    When host copies of the store are supplied, big single-device stores
+    sort on HOST (see HOST_SORT_MIN) and upload the sorted arrays."""
     n_pad = int(pairs_dev.shape[0])
     if not (1 <= threshold <= MAX_THRESHOLD) or n_pad < MIN_STORE:
         return None
@@ -373,11 +466,24 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
     from ..utils.log import profile_stage
     prof = bool(os.environ.get("CBIRD_PROFILE"))
     width = -(-64 // threshold)
+    mode = _sort_mode()
+    host_sort = (mesh is None and pairs_host is not None
+                 and len(pairs_host) <= n_pad  # order must index pairs_dev
+                 and mode != "device"
+                 and (mode == "host" or n_pad >= HOST_SORT_MIN))
+    if host_sort and len(pairs_host) < n_pad:
+        pairs_host = np.pad(pairs_host, ((0, n_pad - len(pairs_host)),
+                                         (0, 0)))
+        valid_host = np.pad(valid_host, (0, n_pad - len(valid_host)))
     for b, mask_cur in enumerate(masks):
         mask_prev = masks[:b]
         with profile_stage(f"ph sort b{b}"):
-            slo_u, shi_u, srow_u, svalid_u, n_runs = _sort_block(
-                pairs_dev, valid_dev, mask_cur, width)
+            if host_sort:
+                order_u, svalid_h, n_runs, change = \
+                    _sort_block_host(pairs_host, valid_host, mask_cur, width)
+            else:
+                slo_u, shi_u, srow_u, svalid_u, n_runs = _sort_block(
+                    pairs_dev, valid_dev, mask_cur, width)
             if fixed_s:
                 sb = fixed_s
             else:
@@ -386,11 +492,19 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
                 sb = _pick_s_avg(n_valid / max(1.0, float(n_runs)), n_pad)
                 if not sb:
                     return None  # measured runs too long — classic wins
-            slo, shi, srow, svalid, os_start, os_end, n_os = _pad_block(
-                slo_u, shi_u, srow_u, svalid_u, jnp.uint32(mask_cur[0]),
-                jnp.uint32(mask_cur[1]), s=sb)
+            if host_sort:
+                slo, shi, srow, svalid, os_start, os_end, n_os = \
+                    _pad_block_host(order_u, svalid_h, change,
+                                    pairs_dev, valid_dev, s=sb)
+            else:
+                slo, shi, srow, svalid, os_start, os_end, n_os = _pad_block(
+                    slo_u, shi_u, srow_u, svalid_u, jnp.uint32(mask_cur[0]),
+                    jnp.uint32(mask_cur[1]), s=sb)
             if prof:
-                jax.block_until_ready(svalid)
+                # tiny slice READBACK: block_until_ready under-reports
+                # through the axon tunnel (CLAUDE.md), piling async work
+                # onto the next real readback stage
+                np.asarray(svalid[-1:])
         gb = g or _pick_g(sb, n_pad, mesh)
         while n_pad % (gb * sb):
             gb //= 2
@@ -444,8 +558,11 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
                                       mask_prev=mask_prev,
                                       s=sb, t=threshold)
             if prof:
-                jax.block_until_ready(csort)
-        counts = _unsort_add(counts, csort, srow)
+                np.asarray(csort[:1])
+        with profile_stage(f"ph unsort b{b}"):
+            counts = _unsort_add(counts, csort, srow)
+            if prof:
+                np.asarray(counts[:1])
     return counts
 
 
@@ -458,7 +575,8 @@ def _band_epilogue(row_credit, *, s):
 
 
 def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
-                *, s: int = 0, g: int = 0, mesh=None) -> np.ndarray | None:
+                *, s: int = 0, g: int = 0, mesh=None,
+                pairs_host=None, valid_host=None) -> np.ndarray | None:
     """Exact later-store-row hit counts for every store row, or None when
     this store/threshold is out of the pigeonhole sweet spot (caller falls
     back to the classic triangular scan).
@@ -475,7 +593,8 @@ def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
     @return [N] int32 numpy counts (padded rows 0), or None
     """
     counts = _count_device(pairs_dev, valid_dev, threshold, n_valid,
-                           s=s, g=g, mesh=mesh)
+                           s=s, g=g, mesh=mesh,
+                           pairs_host=pairs_host, valid_host=valid_host)
     if counts is None:
         return None
     return np.asarray(counts)
@@ -495,7 +614,8 @@ def _gather_counts(counts, rows):
 
 
 def self_counts_sparse(pairs_dev, valid_dev, threshold: int, n_valid: int,
-                       *, s: int = 0, g: int = 0, mesh=None):
+                       *, s: int = 0, g: int = 0, mesh=None,
+                       pairs_host=None, valid_host=None):
     """Count phase with sparse readback: (hot_rows, hot_counts) — the
     store rows with ≥1 later-row hit and their exact counts — or None out
     of the sweet spot.  Readback is a packed nonzero bitmask (n/8 bytes)
@@ -503,16 +623,20 @@ def self_counts_sparse(pairs_dev, valid_dev, threshold: int, n_valid: int,
     array; at 10M rows that turns a ~42 MB tunnel transfer into ~1.5 MB.
     """
     counts = _count_device(pairs_dev, valid_dev, threshold, n_valid,
-                           s=s, g=g, mesh=mesh)
+                           s=s, g=g, mesh=mesh,
+                           pairs_host=pairs_host, valid_host=valid_host)
     if counts is None:
         return None
+    from ..utils.log import profile_stage
     n_pad = int(pairs_dev.shape[0])
-    packed = np.asarray(_pack_nonzero(counts))
-    hot = np.nonzero(np.unpackbits(packed, count=n_pad))[0]
-    if not len(hot):
-        return hot, np.zeros(0, np.int32)
-    hot_counts = np.asarray(_gather_counts(
-        counts, jnp.asarray(hot.astype(np.int32))))
+    with profile_stage("ph pack+readback"):
+        packed = np.asarray(_pack_nonzero(counts))
+    with profile_stage("ph hot gather"):
+        hot = np.nonzero(np.unpackbits(packed, count=n_pad))[0]
+        if not len(hot):
+            return hot, np.zeros(0, np.int32)
+        hot_counts = np.asarray(_gather_counts(
+            counts, jnp.asarray(hot.astype(np.int32))))
     return hot, hot_counts
 
 

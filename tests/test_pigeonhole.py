@@ -364,3 +364,35 @@ def test_search_self_sharded_routes_pigeonhole(rng, monkeypatch):
             assert len(ti) == 0 or np.array_equal(ri, ti), row
         else:
             assert np.array_equal(ri, ti) and np.array_equal(rd, td), row
+
+
+@pytest.mark.parametrize("t", [1, 3, 5])
+def test_host_sort_counts_match_device(rng, monkeypatch, t):
+    """CBIRD_PH_SORT=host (numpy radix sort + upload, the default for
+    ≥2^22-row single-device stores where the device sort executable's
+    per-process load costs 21-264 s through the axon tunnel) must produce
+    counts identical to the device sort and the golden, incl. tombstones,
+    oversized runs, and the t=1 wide-key path."""
+    n = 4096
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    hashes[500:1100] = hashes[500]       # oversized equal-key run (600 > s)
+    hashes[7] = hashes[8]
+    for src, dst in [(5, 2900), (2950, 10)]:
+        h = int(hashes[src])
+        for b in rng.choice(64, size=max(0, t - 1), replace=False):
+            h ^= 1 << int(b)
+        hashes[dst] = np.uint64(h)
+    valid = np.ones(n, bool)
+    valid[510] = False
+    valid[rng.choice(n, size=300, replace=False)] = False
+    valid[-64:] = False                  # invalid tail run at the sort end
+    pairs_host = split_u64(hashes)
+
+    monkeypatch.setenv("CBIRD_PH_SORT", "device")
+    dev = _counts(hashes, valid, t, s=256)
+    monkeypatch.setenv("CBIRD_PH_SORT", "host")
+    host = _counts(hashes, valid, t, s=256,
+                   pairs_host=pairs_host, valid_host=valid)
+    assert dev is not None and host is not None
+    np.testing.assert_array_equal(host, dev)
+    np.testing.assert_array_equal(host, _golden_counts(hashes, valid, t))
