@@ -121,6 +121,8 @@ document.addEventListener('keydown', async (e) => {
   if (e.target.tagName === 'INPUT' || e.ctrlKey || e.metaKey) return;
   const k = e.key, ov = document.getElementById('overlay');
   if (k === 'Escape') { ov.style.display = 'none'; return; }
+  if (k === 't' && cmpIds && ov.style.display === 'block') {
+    await saveThumb(); e.preventDefault(); return; }
   if ((k === 'Backspace' || k === 'u') && MODE !== 'normal') {
     await showIndex(); e.preventDefault(); return; }
   if (k === 't' && MODE !== 'normal' && curSet === null && lastData === null) {
@@ -162,6 +164,7 @@ document.addEventListener('keydown', async (e) => {
   e.preventDefault();
 });
 let zoom = 1, panX = 0, panY = 0, diffMode = false;
+let cmpIds = null, cropStart = null, cropRect = null;
 function applyT() {
   for (const id of ['cmpA', 'cmpB']) {
     const el = document.getElementById(id);
@@ -175,22 +178,53 @@ function wirePanZoom() {
   wrap.onwheel = (e) => { e.preventDefault();
     zoom = Math.max(0.2, Math.min(16, zoom * (e.deltaY < 0 ? 1.2 : 1 / 1.2)));
     applyT(); };
-  wrap.onmousedown = (e) => { drag = [e.clientX - panX, e.clientY - panY]; e.preventDefault(); };
-  window.onmousemove = (e) => { if (drag) {
-    panX = e.clientX - drag[0]; panY = e.clientY - drag[1]; applyT(); } };
-  window.onmouseup = () => drag = null;
+  wrap.onmousedown = (e) => {
+    if (e.shiftKey) {  // crop-rect selection on pane A (reference CropWidget)
+      cropStart = [e.clientX, e.clientY]; cropRect = null;
+      const r = document.getElementById('croprect');
+      r.style.display = 'block'; r.style.borderColor = '#e22';
+      r.style.left = e.clientX + 'px'; r.style.top = e.clientY + 'px';
+      r.style.width = '0px'; r.style.height = '0px';
+    } else drag = [e.clientX - panX, e.clientY - panY];
+    e.preventDefault(); };
+  window.onmousemove = (e) => {
+    if (cropStart) {
+      const x0 = Math.min(cropStart[0], e.clientX), y0 = Math.min(cropStart[1], e.clientY);
+      const x1 = Math.max(cropStart[0], e.clientX), y1 = Math.max(cropStart[1], e.clientY);
+      const r = document.getElementById('croprect');
+      r.style.left = x0 + 'px'; r.style.top = y0 + 'px';
+      r.style.width = (x1 - x0) + 'px'; r.style.height = (y1 - y0) + 'px';
+      const bcr = document.getElementById('cmpA').getBoundingClientRect();
+      cropRect = [Math.round((x0 - bcr.left) / zoom), Math.round((y0 - bcr.top) / zoom),
+                  Math.round((x1 - x0) / zoom), Math.round((y1 - y0) / zoom)];
+    } else if (drag) {
+      panX = e.clientX - drag[0]; panY = e.clientY - drag[1]; applyT(); } };
+  window.onmouseup = () => { drag = null; cropStart = null; };
+}
+async function saveThumb() {
+  if (!cropRect) { alert('shift+drag a rectangle on the left image first'); return; }
+  const r = await api('/api/thumb', {id: cmpIds[0], x: cropRect[0], y: cropRect[1],
+                                     w: cropRect[2], h: cropRect[3]});
+  const el = document.getElementById('croprect');
+  if (r.error) alert(r.error);
+  else if (el) { el.style.borderColor = '#2e2';
+    setTimeout(() => { el.style.display = 'none'; }, 500); }
 }
 async function icompare(a, b) {
   zoom = 1; panX = panY = 0; diffMode = false;
+  cmpIds = [a, b]; cropRect = null; cropStart = null;
   const ov = document.getElementById('overlay');
   ov.style.display = 'block';
   ov.innerHTML = '<h2>compare <button onclick="toggleDiff(' + a + ',' + b + ')">diff</button> ' +
     '<button onclick="tmatch(' + a + ',' + b + ')">template</button> ' +
     '<button onclick="document.getElementById(\\'overlay\\').style.display=\\'none\\'">close</button>' +
-    ' <span class="keyhelp">wheel = zoom, drag = pan (both panes synced); Esc closes</span></h2>' +
+    ' <span class="keyhelp">wheel = zoom, drag = pan (both panes synced); ' +
+    'shift+drag = crop rect, t = save as index thumbnail; Esc closes</span></h2>' +
     '<div class="cmp" id="cmpwrap">' +
     '<div class="pane"><img id="cmpA" src="/file/' + a + '"></div>' +
-    '<div class="pane"><img id="cmpB" src="/file/' + b + '"></div></div>';
+    '<div class="pane"><img id="cmpB" src="/file/' + b + '"></div></div>' +
+    '<div id="croprect" style="display:none;position:fixed;border:2px solid #e22;' +
+    'pointer-events:none;z-index:30"></div>';
   wirePanZoom();
 }
 function toggleDiff(a, b) {
@@ -205,6 +239,7 @@ async function tmatch(a, b) {
 }
 async function quit() { await api('/api/quit', {}); document.body.innerHTML = '<h1>bye</h1>'; }
 async function compare(a, b) {
+  cmpIds = null;  // crop tool is image-compare only
   const d = await api('/api/compare?a=' + a + '&b=' + b);
   if (d.error) { alert(d.error); return; }
   const ov = document.getElementById('overlay');
@@ -591,6 +626,45 @@ class BrowserState:
                 return f"cannot decode {m.path}"
             self._quality[mid] = int(quality_score(d.gray))
         return {"id": mid, "quality": self._quality[mid]}
+
+    def set_thumbnail(self, mid: int, x: int, y: int, w: int, h: int,
+                      frame: int | None = None) -> str | None:
+        """Crop a region of a media item into the collection thumbnail
+        ``<root>/thumb.png`` (the reference's interactive CropWidget →
+        Database::thumbPath flow, src/gui/cropwidget.cpp:30-140; here the
+        rectangle comes from shift+drag in the compare view).  Returns an
+        error string or None."""
+        m = self.media(mid)
+        if m is None:
+            return "unknown media id"
+        from PIL import Image as PILImage
+
+        from ..store.thumbnail import save_index_thumb
+        try:
+            if m.type == Media.TypeVideo:
+                from ..host.video import grab_frame
+                fr = grab_frame(m.path, int(frame or 0))
+                if fr is None:
+                    return f"cannot grab frame {frame} of {m.path}"
+                img = PILImage.fromarray(fr)
+            else:
+                import io as _io
+
+                from PIL import ImageOps
+
+                from ..host.scanner import read_bytes
+                img = PILImage.open(_io.BytesIO(read_bytes(m.path)))
+                img = ImageOps.exif_transpose(img)
+        except (OSError, KeyError) as e:
+            return f"cannot load {m.path}: {e}"
+        root = self.db.path()
+        try:
+            rel = os.path.relpath(m.path, root)
+            save_index_thumb(root, img, rel_path=rel, crop=(x, y, w, h),
+                             frame=frame, media=m)
+        except ValueError as e:
+            return str(e)
+        return None
 
     def image_diff(self, a: int, b: int):
         """Absolute-difference JPEG of two images at a common size
@@ -1013,6 +1087,12 @@ class _Handler(BaseHTTPRequestHandler):
             err = s.open(mid)
         elif url.path == "/api/reveal":
             err = s.reveal(mid)
+        elif url.path == "/api/thumb":
+            err = s.set_thumbnail(
+                mid, int(body.get("x") or 0), int(body.get("y") or 0),
+                int(body.get("w") or 0), int(body.get("h") or 0),
+                frame=(int(body["frame"]) if body.get("frame") is not None
+                       else None))
         elif url.path == "/api/quality":
             out = s.quality(mid)
             if isinstance(out, str):

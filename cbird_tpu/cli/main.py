@@ -94,7 +94,7 @@ usage: cbird [args...]   (arguments are executed in order)
     -show               write an HTML report of the current result
     -select-grid <file> split a collage grid into cell images and select them
     -qualityscore       print no-reference quality score per selected item
-    -video-thumbnail <file> <frame>  save one decoded frame as png
+    -video-thumbnail <file> <frame>  save frame png + index thumb.png
     -compare-videos <a> <b>          export temporally aligned frame pairs
 
   diagnostics:
@@ -980,16 +980,29 @@ complete -F _cbird_complete cbird""")
         info(f"wrote {len(rects)} cells from {path}")
 
     def _video_thumbnail(self, path: str, frame_no: int) -> None:
-        """Save one decoded frame as <name>-frame<N>.png (reference
-        -video-thumbnail)."""
+        """Save one decoded frame as <name>-frame<N>.png, and — when an
+        index exists — write it as the collection thumbnail
+        ``<root>/thumb.png`` with provenance metadata (reference
+        -video-thumbnail, src/main.cpp:1790-1800; crop it interactively
+        in the browser compare view with shift+drag then ``t``)."""
         from ..host.video import grab_frame
         from PIL import Image
         frame = grab_frame(path, frame_no)
         if frame is None:
             raise ParamError(f"cannot grab frame {frame_no} of {path}")
+        img = Image.fromarray(frame)
         out = os.path.splitext(path)[0] + f"-frame{frame_no}.png"
-        Image.fromarray(frame).save(out)
+        img.save(out)
         info(f"wrote {out}")
+        if os.path.isdir(os.path.join(self.index_dir, "_index")):
+            from ..store.thumbnail import save_index_thumb
+            media = None
+            if self._engine is not None:
+                media = self._engine.db.media_with_path(path)
+            rel = os.path.relpath(path, self.index_dir)
+            tp = save_index_thumb(self.index_dir, img, rel_path=rel,
+                                  frame=frame_no, media=media)
+            info(f"wrote {tp}")
 
     def _compare_videos(self, a: str, b: str) -> None:
         """Align two videos by their hash sequences and export matched frame

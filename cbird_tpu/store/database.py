@@ -65,6 +65,11 @@ class Database:
     def index_path(self) -> str:
         return self._index_dir
 
+    def thumb_path(self) -> str:
+        """Collection icon/thumbnail (reference Database::thumbPath,
+        src/database.h:58 — written by the crop tool, store/thumbnail.py)."""
+        return os.path.join(self._root, "thumb.png")
+
     def cache_path(self) -> str:
         return os.path.join(self._index_dir, "cache")
 

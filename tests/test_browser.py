@@ -523,3 +523,48 @@ def test_open_reveal_fallbacks(monkeypatch, tmp_path):
 
     monkeypatch.setattr("shutil.which", lambda name: None)
     assert not open_path(str(f))
+
+
+def test_browser_set_thumbnail(browser):
+    """POST /api/thumb crops a region of pane A into <root>/thumb.png with
+    a provenance comment (reference CropWidget::setIndexThumbnail,
+    src/gui/cropwidget.cpp:30-140)."""
+    eng, groups, url = browser
+    m = groups[0][0]
+    status, resp = _post(url + "api/thumb",
+                         {"id": m.id, "x": 10, "y": 20, "w": 60, "h": 40})
+    assert status == 200 and resp.get("ok"), resp
+    tp = eng.db.thumb_path()
+    assert os.path.exists(tp)
+    with Image.open(tp) as th:
+        assert th.size == (60, 40)
+        comment = th.info.get("Comment", "")
+    assert f"crop:10:20:60:40" in comment
+    assert os.path.basename(m.path) in comment
+    # pixel-exact: the crop equals the source region
+    with Image.open(m.path) as src:
+        want = np.asarray(src.convert("RGB").crop((10, 20, 70, 60)))
+    assert np.array_equal(np.asarray(Image.open(tp).convert("RGB")), want)
+
+    # re-crop preserves the original provenance comment (reference
+    # cropwidget.cpp:58-68)
+    status, resp = _post(url + "api/thumb",
+                         {"id": m.id, "x": 0, "y": 0, "w": 30, "h": 30})
+    assert status == 200 and resp.get("ok")
+    with Image.open(tp) as th:
+        assert th.info.get("Comment", "") == comment
+        assert th.size == (30, 30)
+
+    # out-of-bounds crop is an error, thumb untouched
+    status, resp = _post(url + "api/thumb",
+                         {"id": m.id, "x": 9999, "y": 0, "w": 10, "h": 10})
+    assert status == 400 and "empty crop" in resp.get("error", "")
+
+    # oversize crops scale to <=1024 on the longest side
+    from cbird_tpu.store.thumbnail import save_index_thumb
+    big = Image.fromarray(
+        np.zeros((500, 3000, 3), np.uint8))
+    os.remove(tp)
+    save_index_thumb(eng.db.path(), big, rel_path="big.png")
+    with Image.open(tp) as th:
+        assert max(th.size) == 1024

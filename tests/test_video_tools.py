@@ -84,3 +84,21 @@ def test_migrate(video_dir):
     from cbird_tpu.store.vdx import is_valid_vdx
     for f in before:
         assert is_valid_vdx(os.path.join(vdir, f))
+
+
+def test_video_thumbnail_writes_index_thumb(video_dir):
+    """With an index present, -video-thumbnail also writes the collection
+    thumbnail <root>/thumb.png with frame provenance (reference
+    src/main.cpp:1790-1800 → CropWidget::setIndexThumbnail)."""
+    root, full = video_dir
+    assert main(["-use", root, "-i.algos", "", "-create"]) == 0
+    rc = main(["-use", root, "-video-thumbnail",
+               os.path.join(root, "full.fseq"), "5"])
+    assert rc == 0
+    tp = os.path.join(root, "thumb.png")
+    assert os.path.exists(tp)
+    with Image.open(tp) as th:
+        comment = th.info.get("Comment", "")
+        got = np.asarray(th.convert("RGB"))
+    assert "frame:5" in comment and "full.fseq" in comment
+    assert np.array_equal(got, np.stack([full[5]] * 3, axis=-1))
