@@ -226,6 +226,11 @@ class QueryClient:
 
 def serve_cli(engine, host: str = "127.0.0.1", port: int = 0) -> None:
     """-serve verb body: warm up, then block serving queries."""
+    # long-lived process: the big-store pigeonhole count should use the
+    # DEVICE sort (its one-time 21-264 s executable load amortizes over
+    # the daemon's lifetime; the host sort would pay ~2 s/Mrow on every
+    # N² search).  Explicit CBIRD_PH_SORT still wins.
+    os.environ.setdefault("CBIRD_PH_SORT", "device")
     srv = QueryServer(engine, host, port)
     dt = srv.warmup()
     info(f"serve: warm (index loaded + programs compiled in {dt:.1f}s)")
