@@ -85,16 +85,26 @@ def test_demosaic_rects_gapless_fallback(rng):
         assert b - t >= 100 and r - l >= 130, (t, b, l, r)
 
 
-def test_demosaic_horizon_not_a_grid(rng):
+def test_demosaic_horizon_not_a_grid():
     """A single full-width natural edge (horizon at 40% height) must NOT
     split an ordinary photo: the edge fallback only accepts lines whose
     spacing forms a regular grid (reference selectLines + count<3 gate,
-    src/cvutil.cpp:1553-1640)."""
+    src/cvutil.cpp:1553-1640).
+
+    Local fixed rng, not the session fixture: the ground must carry a
+    noise floor everywhere — a by-chance perfectly flat full-width band
+    IS a solid gutter to any variance-based collage detector (ours and
+    the reference's), which is a different scenario than a horizon."""
+    rng = np.random.default_rng(77)
     h, w = 300, 400
     img = np.zeros((h, w), np.uint8)
     img[:120] = 200 + (rng.random((120, w)) * 8).astype(np.uint8)  # sky
     ground = synth_image(rng, h - 120, w).astype(np.int16)
-    img[120:] = np.clip(ground // 2, 0, 90).astype(np.uint8)
+    img[120:] = np.clip(ground // 2, 0, 60).astype(np.uint8)
+    # broadband texture with per-row std > the solid-line threshold (10):
+    # no ground row may read as a flat gutter band
+    img[120:] += (rng.random((h - 120, w)) * 40).astype(np.uint8)
+    assert img[120:].std(axis=1).min() > 10
     rows, _cols = find_edge_lines(img)
     assert any(abs(r - 120) <= 1 for r in rows), rows  # edge IS detected
     assert demosaic_rects(img) == []  # ...but it is not a grid
