@@ -32,6 +32,7 @@ usage: cbird [args...]   (arguments are executed in order)
     -remove <selector>  remove selection from the index (not files)
     -vacuum             compact databases
     -verify             re-check md5 of every indexed file
+    -updatemd5          upgrade legacy sparse video md5s in the selection to full md5s
     -migrate            upgrade legacy v1 .vdx video files (-i.dryrun previews)
     -jpeg-repair-script <s>  hook -verify runs on damaged jpegs
 
@@ -100,6 +101,7 @@ usage: cbird [args...]   (arguments are executed in order)
   diagnostics:
     -test-csv <file>    needle,expected-match accuracy harness (alias -simtest)
     -test-image-search  re-hash every selected image, report self-recall
+    -test-update        scripted start/stop/finish update cycle (consistency check)
     -test-image-loader <file>   decode timing/info for one image
     -test-video-decoder <file>  decode timing/info for one video (alias -test-video)
     -select-sql <where> select media rows by SQL where clause
@@ -116,7 +118,8 @@ usage: cbird [args...]   (arguments are executed in order)
 
 
 _KNOWN_VERBS = [
-    "-use", "-create", "-update", "-remove", "-vacuum", "-verify", "-migrate",
+    "-use", "-create", "-update", "-updatemd5", "-remove", "-vacuum",
+    "-verify", "-migrate", "-test-update",
     "-similar", "-similar-to", "-similar-in", "-dups", "-dups-in",
     "-select-all", "-select-path", "-select-type", "-select-id", "-select-one",
     "-select-none", "-select-result", "-select-errors", "-weeds",
@@ -264,6 +267,9 @@ class Cli:
             return i + 1
         if a == "-verify":
             self._verify()
+            return i + 1
+        if a == "-updatemd5":
+            self._update_md5()
             return i + 1
         if a == "-remove":
             sel = self._need(args, i, "a selector")
@@ -695,6 +701,9 @@ complete -F _cbird_complete cbird""")
         if a == "-test-image-search":
             self._test_image_search()
             return i + 1
+        if a == "-test-update":
+            self._test_update()
+            return i + 1
         if a in ("-test-video-decoder", "-test-video"):
             f = self._need(args, i, "a video file")
             import time as _time
@@ -849,6 +858,72 @@ complete -F _cbird_complete cbird""")
                         warn(f"repair script failed: {e}")
         info(f"verify: {bad} problems in {db.count()} items")
 
+    def _update_md5(self) -> None:
+        """Upgrade legacy sparse video md5s in the selection to full md5s
+        (reference -updatemd5, src/main.cpp:1735-1752: only rows whose
+        stored md5 still equals the file's SPARSE md5 are upgraded — a
+        mismatch means the row already carries a new-style hash, or the
+        file changed, and is left alone with a warning)."""
+        from ..params import TYPE_VIDEO
+        from ..store.ioutil import full_md5_file, sparse_md5_file
+        db = self.engine().db
+        updated = skipped = 0
+        for m in self.selection:
+            if m.type != TYPE_VIDEO:
+                continue
+            try:
+                sparse = sparse_md5_file(m.path)
+            except OSError as e:
+                warn(f"updatemd5: cannot open {m.path}: {e}")
+                continue
+            if m.md5 != sparse:
+                warn(f"updatemd5: no update, hash could be the new version:"
+                     f" {m.path} {m.md5}")
+                skipped += 1
+                continue
+            digest = full_md5_file(m.path)
+            if not db.set_md5(m, digest) or m.md5 != digest:
+                raise ParamError(f"updatemd5: db update failed for {m.path}")
+            info(f"updateMd5 {m.path} -> {digest}")
+            updated += 1
+        info(f"updatemd5: {updated} updated, {skipped} skipped")
+
+    def _test_update(self) -> None:
+        """Scripted start/stop/finish update cycle — the headless stand-in
+        for the reference's interactive Start/Stop/Finish dialog harness
+        (-test-update, src/commands.cpp:1130-1172).  Starts an update,
+        requests a graceful stop after the first processed file, verifies
+        the database stayed consistent, then finishes the update and
+        verifies nothing was lost or double-indexed."""
+        eng = self.engine()
+        seen = 0
+
+        def stop_after_first(done: int, total: int) -> None:
+            nonlocal seen
+            seen = done
+            if done >= 1:
+                eng.stop_update()
+
+        s1 = eng.update(progress=stop_after_first)
+        info(f"test-update: start/stop phase added {s1['added']}"
+             f" (stopped={s1['stopped']})")
+        mid_count = eng.db.count()
+        s2 = eng.update()  # finish
+        if s2["stopped"]:
+            raise ParamError("test-update: finish phase was stopped")
+        final = eng.db.count()
+        if final < mid_count:
+            raise ParamError("test-update: items lost after resume")
+        # nothing may remain unindexed or doubly indexed
+        s3 = eng.update()
+        if s3["added"] or s3["modified"] or s3["removed"]:
+            raise ParamError(
+                f"test-update: index not stable after finish: {s3}")
+        paths = [m.path for m in eng.db.all_media()]
+        if len(paths) != len(set(paths)):
+            raise ParamError("test-update: duplicate paths indexed")
+        info(f"test-update: ok — {final} items, resume added {s2['added']}")
+
     def _sort_similar(self) -> None:
         """Greedy nearest-neighbor ordering of the selection by dct hash
         (reference -sort-similar)."""
@@ -996,9 +1071,11 @@ complete -F _cbird_complete cbird""")
         info(f"wrote {out}")
         if os.path.isdir(os.path.join(self.index_dir, "_index")):
             from ..store.thumbnail import save_index_thumb
-            media = None
-            if self._engine is not None:
-                media = self._engine.db.media_with_path(path)
+            # Always resolve provenance (id/md5/dct) from the index — the
+            # reference calls engine().db->mediaWithPath unconditionally
+            # (src/main.cpp:1793); the index-exists check above already
+            # implies an engine load is warranted.
+            media = self.engine().db.media_with_path(path)
             rel = os.path.relpath(path, self.index_dir)
             tp = save_index_thumb(self.index_dir, img, rel_path=rel,
                                   frame=frame_no, media=media)

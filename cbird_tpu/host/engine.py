@@ -34,7 +34,15 @@ class Engine:
         self.params = index_params or IndexParams()
         self.db = Database(root)
         self.scanner = Scanner(self.params)
+        self._stop_requested = False
         self._register_indexes()
+
+    def stop_update(self) -> None:
+        """Request a graceful stop of a running update (reference
+        Engine::stopUpdate): the batch loop commits the media it already
+        processed and returns; a later update() resumes from the database
+        state, so nothing is lost or double-indexed."""
+        self._stop_requested = True
 
     def _register_indexes(self) -> None:
         """Register all implemented algorithms (reference Engine ctor,
@@ -113,8 +121,10 @@ class Engine:
             for path in todo_images:
                 info(f"would add: {path}")
             return {"added": 0, "removed": len(scan.removed_ids),
-                    "modified": len(scan.modified), "errors": self.scanner.errors()}
+                    "modified": len(scan.modified),
+                    "errors": self.scanner.errors(), "stopped": False}
 
+        self._stop_requested = False
         batch: list[Media] = []
         for m in self.scanner.process_images(todo_images, progress):
             batch.append(m)
@@ -122,6 +132,8 @@ class Engine:
                 self.db.add(batch)
                 added += len(batch)
                 batch = []
+            if self._stop_requested:
+                break
         if batch:
             self.db.add(batch)
             added += len(batch)
@@ -130,7 +142,7 @@ class Engine:
         # workers) feeding the shared device hasher; results commit per
         # video in completion order like the reference (src/engine.cpp:85-92)
         video_added = 0
-        if p.algos & (1 << SearchParams.ALGO_VIDEO):
+        if p.algos & (1 << SearchParams.ALGO_VIDEO) and not self._stop_requested:
             try:
                 from .video import process_videos
                 for path, m in process_videos(scan.new_videos, self.params,
@@ -140,6 +152,8 @@ class Engine:
                         video_added += 1
                     else:
                         self.scanner.set_error(path, "video decode error")
+                    if self._stop_requested:
+                        break
             except ImportError:
                 if scan.new_videos:
                     warn(f"video pipeline unavailable; skipped "
@@ -150,7 +164,8 @@ class Engine:
         self.db.save_indices()
 
         return {"added": added + video_added, "removed": len(scan.removed_ids),
-                "modified": len(scan.modified), "errors": self.scanner.errors()}
+                "modified": len(scan.modified), "errors": self.scanner.errors(),
+                "stopped": self._stop_requested}
 
     @staticmethod
     def _supported_algos(media_type: int) -> int:

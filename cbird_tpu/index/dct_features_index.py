@@ -77,6 +77,8 @@ class DctFeaturesIndex(Index):
         cached = load_cache(cache_path, "dctfeatures", conn)
         if cached is not None:
             self._store = PackedHashStore(cached["hashes"], cached["ids"])
+            self._store.cache_dir = cache_path  # persists pigeonhole sorts
+            self._store.cache_name = "dctfeatures"
             self._loaded = True
             return
         all_hashes, all_ids = [], []
@@ -88,6 +90,8 @@ class DctFeaturesIndex(Index):
         self._store = PackedHashStore()
         if all_hashes:
             self._store.add(np.concatenate(all_hashes), np.concatenate(all_ids))
+        self._store.cache_dir = cache_path
+        self._store.cache_name = "dctfeatures"
         self._loaded = True
         save_cache(cache_path, "dctfeatures",
                    hashes=self._store.hashes, ids=self._store.ids)

@@ -62,6 +62,8 @@ class DctHashIndex(Index):
         cached = load_cache(cache_path, "dcthash", conn)
         if cached is not None and {"ids", "hashes"} <= set(cached):
             self._store = PackedHashStore(cached["hashes"], cached["ids"])
+            self._store.cache_dir = cache_path  # persists pigeonhole sorts
+            self._store.cache_name = "dcthash"
             self._loaded = True
             return
         total = conn.execute(
@@ -87,6 +89,8 @@ class DctHashIndex(Index):
             i = stop
         ids, hashes = ids[:i], hashes[:i]
         self._store = PackedHashStore(hashes, ids)
+        self._store.cache_dir = cache_path
+        self._store.cache_name = "dcthash"
         self._loaded = True
         if len(ids) >= CACHE_MIN_ROWS:  # small ones reload from SQL fast
             save_cache(cache_path, "dcthash", ids=ids, hashes=hashes)

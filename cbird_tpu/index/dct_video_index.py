@@ -64,6 +64,7 @@ class DctVideoIndex(Index):
         from ..store.vdx import load_vdx
         self._data_path = data_path
         self._store = PackedVideoStore()
+        self._store.cache_dir = cache_path  # persists pigeonhole sorts
         for (mid,) in conn.execute(
                 "select id from media where type=? order by id", (TYPE_VIDEO,)):
             path = os.path.join(data_path, f"{mid}.vdx")

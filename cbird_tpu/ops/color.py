@@ -643,7 +643,17 @@ class PackedColorStore:
         with the haystack-side one — in fixed-shape super_chunk slices
         (color_self_block), windowed-async like the plain scan.  Per-block
         partial top-ks merge on host; ties resolve by original row order
-        to match the unbucketed kernel."""
+        to match the unbucketed kernel.
+
+        Known tie divergence vs the scan path: the final lexsort only sees
+        candidates that SURVIVED the per-chunk top-k, and within one chunk
+        lax.top_k keeps equal-score rows by sorted-order position.  With
+        more than k exactly-equal-score rows in a single chunk (a duplicate
+        cluster larger than k), the k ids kept here can differ from the
+        scan path's original-row tie-break.  Both selections are equally
+        valid matches (identical scores), so this is accepted rather than
+        paid for with per-chunk oversampling; tests compare against the
+        scan path only below that regime."""
         import collections
         n = len(self._ids)
         counts = self._descs[:, NUM_COLORS, 0].astype(np.int32)

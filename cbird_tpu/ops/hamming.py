@@ -276,6 +276,12 @@ class PackedHashStore:
         # crosses the boundary as int32)
         self._mxu_v32 = None
         self._id_rows = None  # (sorted_ids, rows_sorted) id→row cache
+        # optional directory + name for the persistent pigeonhole
+        # sort-order cache (set by the owning index to its _index/cache
+        # dir); the content fingerprint invalidates it on any add/remove
+        self.cache_dir: str | None = None
+        self.cache_name: str = "store"
+        self._fp: str | None = None
         if hashes is not None and len(hashes):
             self._hashes = np.asarray(hashes, dtype=np.uint64).copy()
             self._ids = np.asarray(ids, dtype=np.uint32).copy()
@@ -304,6 +310,7 @@ class PackedHashStore:
         self._dev_rep = None
         self._mxu_v32 = None
         self._id_rows = None
+        self._fp = None
 
     def remove(self, ids) -> None:
         """Tombstone by media id (reference zeroes id+hash, keeps the slot)."""
@@ -317,11 +324,27 @@ class PackedHashStore:
             self._dev_rep = None
             self._mxu_v32 = None
             self._id_rows = None
+            self._fp = None
 
     def slice(self, media_ids) -> "PackedHashStore":
         keep = np.isin(self._ids, np.asarray(list(media_ids), dtype=np.uint32))
         keep &= self._ids != 0
         return PackedHashStore(self._hashes[keep], self._ids[keep])
+
+    def fingerprint(self) -> str:
+        """Content fingerprint of the store (hashes + ids), cached until
+        the next add/remove — keys the persistent pigeonhole sort-order
+        cache (ops/pigeonhole.SortOrderCache).  blake2b streams ~1 GB/s,
+        so validating a 10M-row store costs ~0.1 s vs the ~22 s host sort
+        it avoids."""
+        if self._fp is None:
+            import hashlib
+            h = hashlib.blake2b(digest_size=16)
+            h.update(np.int64(len(self._hashes)).tobytes())
+            h.update(self._hashes.tobytes())
+            h.update(self._ids.tobytes())
+            self._fp = h.hexdigest()
+        return self._fp
 
     def _host_bucket_arrays(self, shard_multiple: bool = True):
         """@param shard_multiple pad to a multiple of the index-axis shard
@@ -548,13 +571,21 @@ class PackedHashStore:
                 # pigeonhole sorted count phase: 15-51x fewer pair
                 # evaluations than the triangle at small thresholds, 3.5x
                 # measured at 2M/t=5 (falls back None outside its sweet
-                # spot — see ops/pigeonhole.py)
+                # spot — see ops/pigeonhole.py).  Host bucket copies are
+                # built LAZILY inside the count phase, only when the host
+                # sort engages without a sort-cache hit (~120 MB per call
+                # at 10M rows otherwise).
+                sort_cache = None
+                if self.cache_dir:
+                    sort_cache = pigeonhole.SortOrderCache(
+                        self.cache_dir, self.fingerprint(),
+                        name=self.cache_name)
                 with profile_stage("self_search count (pigeonhole)"):
-                    ph_pairs, ph_valid = self._host_bucket_arrays()
                     sp = pigeonhole.self_counts_sparse(
                         pairs_dev, valid_dev, threshold,
                         int(np.count_nonzero(self._ids)),
-                        pairs_host=ph_pairs, valid_host=ph_valid)
+                        host_arrays=self._host_bucket_arrays,
+                        sort_cache=sort_cache)
                 if sp is not None:
                     hot, hot_counts = sp
             used_ph = hot is not None

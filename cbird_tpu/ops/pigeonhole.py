@@ -168,6 +168,119 @@ def _sort_mode() -> str:
     return os.environ.get("CBIRD_PH_SORT", "auto").lower()
 
 
+# bump when the block-mask shuffle or file layout changes
+_SORT_CACHE_VERSION = 1
+
+
+class SortOrderCache:
+    """Persistent per-block sorted orders for the host-sort count phase.
+
+    The reference persists every rebuildable search structure to
+    mtime-validated flat caches (/root/reference/src/qtutil.h:125-132,
+    src/dctfeaturesindex.cpp:34, src/cvfeaturesindex.cpp:406-419); the
+    pigeonhole N²'s equivalent is the T per-block argsort orders, which
+    cost 22 s at 10M / 175 s at 30M / 1,155 s at 100M of numpy radix
+    sort PER PROCESS.  One-shot ``-similar`` CLI runs dominate usage, so
+    the orders are written once to ``<cache_dir>/phsort-t<T>.npz``
+    (uncompressed — permutations don't compress) and re-validated by a
+    blake2b fingerprint of the store content: add() appends rows and
+    remove() zeroes hashes in place, so any mutation changes the
+    fingerprint and invalidates the file.  Disable: CBIRD_PH_SORT_CACHE=off.
+
+    Per block the file holds the int32 order plus packbit'd svalid/change
+    masks and the measured run count — everything ``_pad_block_host``
+    needs, so a cache hit skips building the host bucket arrays entirely.
+    Blocks are read lazily from the npz handle (one [N] int32 at a time,
+    not T of them) to keep peak host RSS flat at 100M rows.
+    """
+
+    def __init__(self, cache_dir: str, fingerprint: str,
+                 name: str = "store") -> None:
+        """@param name distinguishes co-located stores (e.g. 'dcthash'
+        vs 'dctfeatures' share one _index/cache dir)."""
+        self.cache_dir = cache_dir
+        self.fingerprint = fingerprint
+        self.name = name
+        self._npz = None
+
+    @staticmethod
+    def enabled() -> bool:
+        return os.environ.get("CBIRD_PH_SORT_CACHE", "on").lower() not in (
+            "off", "0", "no")
+
+    def _file(self, threshold: int) -> str:
+        return os.path.join(self.cache_dir,
+                            f"phsort-{self.name}-t{threshold}.npz")
+
+    def open(self, threshold: int, n_pad: int) -> bool:
+        """@return True when a valid cache for (fingerprint, threshold,
+        n_pad) exists; keeps the npz handle open for get()."""
+        self.close()
+        f = self._file(threshold)
+        if not os.path.exists(f):
+            return False
+        try:
+            z = np.load(f)
+            if (int(z["version"]) != _SORT_CACHE_VERSION
+                    or str(z["fingerprint"]) != self.fingerprint
+                    or int(z["n_pad"]) != n_pad
+                    or int(z["threshold"]) != threshold):
+                z.close()
+                return False
+            self._npz = z
+            return True
+        except Exception:  # corrupt/truncated → rebuild (and replace)
+            from ..utils.log import warn
+            warn(f"corrupt sort cache removed: {f}")
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+            return False
+
+    def get(self, b: int):
+        """@return (order int32 [n_pad], svalid bool, n_runs, change bool)
+        for block ``b`` — the _sort_block_host tuple."""
+        z = self._npz
+        order = z[f"order{b}"]
+        n = len(order)
+        svalid = np.unpackbits(z[f"svalid{b}"], count=n).astype(bool)
+        change = np.unpackbits(z[f"change{b}"], count=n).astype(bool)
+        return order, svalid, int(z[f"nruns{b}"]), change
+
+    def close(self) -> None:
+        if self._npz is not None:
+            self._npz.close()
+            self._npz = None
+
+    def save(self, threshold: int, n_pad: int, blocks: dict) -> None:
+        """Atomically write all T blocks. @param blocks {b: sort tuple}"""
+        arrays = {
+            "version": np.int64(_SORT_CACHE_VERSION),
+            "fingerprint": np.str_(self.fingerprint),
+            "n_pad": np.int64(n_pad),
+            "threshold": np.int64(threshold),
+        }
+        for b, (order, svalid, n_runs, change) in blocks.items():
+            arrays[f"order{b}"] = np.ascontiguousarray(order, np.int32)
+            arrays[f"svalid{b}"] = np.packbits(svalid)
+            arrays[f"change{b}"] = np.packbits(change)
+            arrays[f"nruns{b}"] = np.int64(n_runs)
+        os.makedirs(self.cache_dir, exist_ok=True)
+        f = self._file(threshold)
+        tmp = f"{f}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "wb") as fh:
+                np.savez(fh, **arrays)
+            os.replace(tmp, f)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+
 def _sort_block_host(pairs, valid, mask: tuple[int, int], width: int):
     """Host-side equivalent of _sort_block: numpy radix argsort of the
     compacted block key with the same invalid-rows-sink-to-end semantics.
@@ -439,13 +552,23 @@ def _pick_g(s: int, n_pad: int, mesh) -> int:
 
 def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
                   *, s: int = 0, g: int = 0, mesh=None,
-                  pairs_host=None, valid_host=None):
+                  pairs_host=None, valid_host=None, host_arrays=None,
+                  sort_cache=None):
     """Device-resident core of the count phase: returns the [n_pad] int32
     counts WITHOUT reading them back (a full-counts readback through the
     axon tunnel costs seconds at 10M rows), or None out of sweet spot.
 
     When host copies of the store are supplied, big single-device stores
-    sort on HOST (see HOST_SORT_MIN) and upload the sorted arrays."""
+    sort on HOST (see HOST_SORT_MIN) and upload the sorted arrays.
+
+    @param host_arrays optional 0-arg callable returning (pairs, valid)
+           host copies — invoked ONLY once the host-sort condition is
+           known true (building them eagerly costs a ~120 MB numpy
+           allocation per search at 10M rows) and skipped entirely on a
+           sort-cache hit
+    @param sort_cache optional SortOrderCache: persisted per-block orders
+           are loaded instead of re-sorting (22 s at 10M, 1,155 s at 100M
+           per process), and freshly computed sorts are saved back"""
     n_pad = int(pairs_dev.shape[0])
     if not (1 <= threshold <= MAX_THRESHOLD) or n_pad < MIN_STORE:
         return None
@@ -467,20 +590,35 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
     prof = bool(os.environ.get("CBIRD_PROFILE"))
     width = -(-64 // threshold)
     mode = _sort_mode()
-    host_sort = (mesh is None and pairs_host is not None
-                 and len(pairs_host) <= n_pad  # order must index pairs_dev
+    host_sort = (mesh is None
+                 and (pairs_host is not None or host_arrays is not None)
                  and mode != "device"
                  and (mode == "host" or n_pad >= HOST_SORT_MIN))
-    if host_sort and len(pairs_host) < n_pad:
-        pairs_host = np.pad(pairs_host, ((0, n_pad - len(pairs_host)),
-                                         (0, 0)))
-        valid_host = np.pad(valid_host, (0, n_pad - len(valid_host)))
+    cache_hit = False
+    if host_sort and sort_cache is not None and sort_cache.enabled():
+        cache_hit = sort_cache.open(threshold, n_pad)
+    if host_sort and not cache_hit and pairs_host is None:
+        pairs_host, valid_host = host_arrays()  # lazy: only when sorting
+    if host_sort and not cache_hit:
+        if len(pairs_host) > n_pad:  # order must index pairs_dev
+            host_sort = False
+        elif len(pairs_host) < n_pad:
+            pairs_host = np.pad(pairs_host, ((0, n_pad - len(pairs_host)),
+                                             (0, 0)))
+            valid_host = np.pad(valid_host, (0, n_pad - len(valid_host)))
+    sorts_to_save: dict = {}
     for b, mask_cur in enumerate(masks):
         mask_prev = masks[:b]
         with profile_stage(f"ph sort b{b}"):
             if host_sort:
-                order_u, svalid_h, n_runs, change = \
-                    _sort_block_host(pairs_host, valid_host, mask_cur, width)
+                if cache_hit:
+                    order_u, svalid_h, n_runs, change = sort_cache.get(b)
+                else:
+                    order_u, svalid_h, n_runs, change = _sort_block_host(
+                        pairs_host, valid_host, mask_cur, width)
+                    if sort_cache is not None and sort_cache.enabled():
+                        sorts_to_save[b] = (order_u, svalid_h, n_runs,
+                                            change)
             else:
                 slo_u, shi_u, srow_u, svalid_u, n_runs = _sort_block(
                     pairs_dev, valid_dev, mask_cur, width)
@@ -491,6 +629,8 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
                 # declared block width lies when hash bits are biased
                 sb = _pick_s_avg(n_valid / max(1.0, float(n_runs)), n_pad)
                 if not sb:
+                    if sort_cache is not None:
+                        sort_cache.close()
                     return None  # measured runs too long — classic wins
             if host_sort:
                 slo, shi, srow, svalid, os_start, os_end, n_os = \
@@ -521,6 +661,8 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
             if (len(tile_pairs) > RUN_BUDGET_TILES
                     or len(tile_pairs) * sb * sb
                     > RUN_BUDGET_FRAC * n_valid * n_valid / 2):
+                if sort_cache is not None:
+                    sort_cache.close()
                 return None  # degenerate key skew — classic path wins
         with profile_stage(f"ph band b{b} (s={sb}, runs={len(tile_pairs)})"):
             if mesh is not None:
@@ -563,6 +705,14 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
             counts = _unsort_add(counts, csort, srow)
             if prof:
                 np.asarray(counts[:1])
+    if sort_cache is not None:
+        sort_cache.close()
+        if sorts_to_save:
+            # persist only after every block succeeded (a mid-loop bail
+            # means the classic path runs; partial caches would be dead
+            # weight re-validated every search)
+            with profile_stage("ph sort-cache save"):
+                sort_cache.save(threshold, n_pad, sorts_to_save)
     return counts
 
 
@@ -576,7 +726,8 @@ def _band_epilogue(row_credit, *, s):
 
 def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
                 *, s: int = 0, g: int = 0, mesh=None,
-                pairs_host=None, valid_host=None) -> np.ndarray | None:
+                pairs_host=None, valid_host=None, host_arrays=None,
+                sort_cache=None) -> np.ndarray | None:
     """Exact later-store-row hit counts for every store row, or None when
     this store/threshold is out of the pigeonhole sweet spot (caller falls
     back to the classic triangular scan).
@@ -594,7 +745,8 @@ def self_counts(pairs_dev, valid_dev, threshold: int, n_valid: int,
     """
     counts = _count_device(pairs_dev, valid_dev, threshold, n_valid,
                            s=s, g=g, mesh=mesh,
-                           pairs_host=pairs_host, valid_host=valid_host)
+                           pairs_host=pairs_host, valid_host=valid_host,
+                           host_arrays=host_arrays, sort_cache=sort_cache)
     if counts is None:
         return None
     return np.asarray(counts)
@@ -615,7 +767,8 @@ def _gather_counts(counts, rows):
 
 def self_counts_sparse(pairs_dev, valid_dev, threshold: int, n_valid: int,
                        *, s: int = 0, g: int = 0, mesh=None,
-                       pairs_host=None, valid_host=None):
+                       pairs_host=None, valid_host=None, host_arrays=None,
+                       sort_cache=None):
     """Count phase with sparse readback: (hot_rows, hot_counts) — the
     store rows with ≥1 later-row hit and their exact counts — or None out
     of the sweet spot.  Readback is a packed nonzero bitmask (n/8 bytes)
@@ -624,7 +777,8 @@ def self_counts_sparse(pairs_dev, valid_dev, threshold: int, n_valid: int,
     """
     counts = _count_device(pairs_dev, valid_dev, threshold, n_valid,
                            s=s, g=g, mesh=mesh,
-                           pairs_host=pairs_host, valid_host=valid_host)
+                           pairs_host=pairs_host, valid_host=valid_host,
+                           host_arrays=host_arrays, sort_cache=sort_cache)
     if counts is None:
         return None
     from ..utils.log import profile_stage

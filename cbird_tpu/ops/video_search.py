@@ -92,6 +92,7 @@ class PackedVideoStore:
         self._dev = None
         self._by_slot = None  # slot → stored hashes (built lazily)
         self._hash_store = None  # frame rows as a PackedHashStore (lazily)
+        self.cache_dir = None  # persistent pigeonhole sort cache location
         self._mxu_v32 = None  # int32 validity view for the MXU count gate
 
     def _consolidate(self) -> None:
@@ -271,6 +272,9 @@ class PackedVideoStore:
                 alive = np.array([bool(m) for m in self._media_ids], bool)
                 ids[~alive[self._vidx]] = 0
             self._hash_store = PackedHashStore(self._hashes, ids)
+            if self.cache_dir:
+                self._hash_store.cache_dir = self.cache_dir
+                self._hash_store.cache_name = "dctvideo"
         return self._hash_store
 
     def search_hits(self, needle_hashes: np.ndarray, threshold: int,

@@ -238,6 +238,21 @@ class Database:
                     os.unlink(vdx)
             self._media_cache = None
 
+    def set_md5(self, media: Media, md5: str) -> bool:
+        """Replace the stored md5 of one row (reference Database::setMd5,
+        used by -updatemd5 to upgrade legacy sparse video md5s to full
+        md5s, src/main.cpp:1735-1752)."""
+        if not media.id or not md5:
+            return False
+        with self.write_lock(), self._lock:
+            conn = self.connect()
+            conn.execute("update media set md5=? where id=?",
+                         (md5, media.id))
+            conn.commit()
+        media.md5 = md5
+        self._media_cache = None
+        return True
+
     def move(self, media: Media, new_dir: str) -> bool:
         """Move file on disk preserving index (reference Database::move)."""
         new_path = os.path.join(new_dir, media.name())

@@ -82,7 +82,13 @@ def save_index_thumb(root: str, image: Image.Image, *,
                           max(1, round(ch * scale))), Image.LANCZOS)
 
     thumb_path = os.path.join(root, "thumb.png")
-    comment = read_thumb_comment(thumb_path)  # survive re-crops
+    # Preserve provenance only across re-crops of the SAME source — the
+    # reference carries the comment on the media being cropped
+    # (cropwidget.cpp:58-68), so a thumbnail replaced from a different
+    # file must get a freshly built comment.
+    comment = read_thumb_comment(thumb_path)
+    if comment and f"path:{rel_path}" not in comment.splitlines():
+        comment = ""
     if not comment:
         comment = build_comment(rel_path=rel_path,
                                 crop=(x0, y0, x1 - x0, y1 - y0),

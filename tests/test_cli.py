@@ -168,3 +168,81 @@ def test_similar_to_directory(indexed_corpus, tmp_path, capsys):
     out = capsys.readouterr().out
     n_groups = int(out.split()[0])
     assert n_groups >= len(groups)  # every base image pairs with its variant
+
+
+def test_updatemd5(tmp_path, capsys):
+    """-updatemd5 upgrades a legacy sparse video md5 to the full md5, and
+    leaves rows already carrying a full md5 alone (reference
+    src/main.cpp:1735-1752)."""
+    import numpy as np
+
+    from cbird_tpu.host.video import FseqBackend
+    from cbird_tpu.store.database import Database
+    from cbird_tpu.store.ioutil import full_md5_file, sparse_md5_file
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(7)
+    for name in ("a", "b"):
+        frames = rng.integers(0, 255, size=(12, 64, 80), dtype=np.uint8)
+        FseqBackend.save(os.path.join(root, f"{name}.fseq"), frames, 25.0)
+    assert main(["-use", root, "-i.algos", "dct+video", "-i.fsize", "16",
+                 "-create", "-update"]) == 0
+    pa = os.path.join(root, "a.fseq")
+    db = Database(root)
+    ma = db.media_with_path(pa)
+    assert ma.id and ma.md5 == full_md5_file(pa)  # indexed with full md5
+    assert db.set_md5(ma, sparse_md5_file(pa))  # simulate a legacy row
+
+    assert main(["-use", root, "-select-type", "v", "-updatemd5"]) == 0
+    out = capsys.readouterr()
+    assert "1 updated, 1 skipped" in out.out + out.err
+    db2 = Database(root)
+    assert db2.media_with_path(pa).md5 == full_md5_file(pa)
+    # a second pass finds nothing sparse: both rows skipped
+    assert main(["-use", root, "-select-type", "v", "-updatemd5"]) == 0
+    out = capsys.readouterr()
+    assert "0 updated" in out.out + out.err
+
+
+def test_test_update_verb(tmp_path, capsys):
+    """-test-update: scripted start/stop/finish cycle ends with a stable,
+    fully-indexed database (headless stand-in for the reference's
+    interactive harness, src/commands.cpp:1130-1172)."""
+    from fixtures import make_corpus
+
+    root = str(tmp_path)
+    make_corpus(root, n_base=4, scales=(1.0, 0.5))
+    assert main(["-use", root, "-i.algos", "dct", "-i.fsize", "128",
+                 "-create", "-test-update"]) == 0
+    out = capsys.readouterr()
+    assert "test-update: ok" in out.out + out.err
+
+
+def test_engine_stop_update_resumes(tmp_path):
+    """Engine.stop_update interrupts mid-scan after a committed batch; the
+    next update picks up exactly the remaining files."""
+    from cbird_tpu.host.engine import Engine
+    from cbird_tpu.params import IndexParams
+    from fixtures import make_corpus
+
+    root = str(tmp_path)
+    make_corpus(root, n_base=4, scales=(1.0, 0.5))  # 8 files
+    p = IndexParams()
+    p.algos = 1  # dct only
+    p.fSize = 128
+    eng = Engine(root, p)
+    eng.scanner._hasher.batch = 2  # progress fires every 2 images
+
+    def stop_soon(done, total):
+        if done >= 2:
+            eng.stop_update()
+
+    s1 = eng.update(progress=stop_soon)
+    assert s1["stopped"] and 2 <= s1["added"] < 8
+    mid = eng.db.count()
+    assert mid == s1["added"]
+    s2 = eng.update()
+    assert not s2["stopped"] and s2["added"] == 8 - mid
+    assert eng.db.count() == 8
+    s3 = eng.update()  # stable
+    assert s3["added"] == 0 and s3["modified"] == 0

@@ -396,3 +396,126 @@ def test_host_sort_counts_match_device(rng, monkeypatch, t):
     assert dev is not None and host is not None
     np.testing.assert_array_equal(host, dev)
     np.testing.assert_array_equal(host, _golden_counts(hashes, valid, t))
+
+
+# ---- persistent sort-order cache (SortOrderCache) -------------------------
+
+def _clustered(rng, n, t=5):
+    hashes = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    hashes[500:1100] = hashes[500]  # oversized run
+    for src, dst in [(5, 2900), (2950, 10), (100, 101)]:
+        h = int(hashes[src])
+        for b in rng.choice(64, size=max(0, t - 1), replace=False):
+            h ^= 1 << int(b)
+        hashes[dst] = np.uint64(h)
+    valid = np.ones(n, bool)
+    valid[rng.choice(n, size=200, replace=False)] = False
+    return hashes, valid
+
+
+@pytest.mark.parametrize("t", [1, 5])
+def test_sort_cache_roundtrip(rng, monkeypatch, tmp_path, t):
+    """First host-sorted count writes phsort-*.npz; a second count with the
+    same fingerprint loads it — no re-sort, no host bucket arrays built —
+    and produces identical (golden) counts."""
+    monkeypatch.setenv("CBIRD_PH_SORT", "host")
+    hashes, valid = _clustered(rng, 4096, t)
+    pairs_host = split_u64(hashes)
+    cache = pigeonhole.SortOrderCache(str(tmp_path), "fp1", name="x")
+    got1 = _counts(hashes, valid, t, s=256, pairs_host=pairs_host,
+                   valid_host=valid, sort_cache=cache)
+    assert got1 is not None
+    f = tmp_path / f"phsort-x-t{t}.npz"
+    assert f.exists()
+
+    def no_sort(*a, **k):
+        raise AssertionError("re-sorted despite a cache hit")
+
+    def no_host_arrays():
+        raise AssertionError("host arrays built despite a cache hit")
+
+    monkeypatch.setattr(pigeonhole, "_sort_block_host", no_sort)
+    cache2 = pigeonhole.SortOrderCache(str(tmp_path), "fp1", name="x")
+    got2 = _counts(hashes, valid, t, s=256, host_arrays=no_host_arrays,
+                   sort_cache=cache2)
+    np.testing.assert_array_equal(got2, got1)
+    np.testing.assert_array_equal(got1, _golden_counts(hashes, valid, t))
+
+
+def test_sort_cache_fingerprint_and_corruption(rng, monkeypatch, tmp_path):
+    """A different fingerprint (mutated store) or a corrupt file is a miss:
+    the sort re-runs and the file is replaced."""
+    monkeypatch.setenv("CBIRD_PH_SORT", "host")
+    t = 5
+    hashes, valid = _clustered(rng, 4096, t)
+    pairs_host = split_u64(hashes)
+    cache = pigeonhole.SortOrderCache(str(tmp_path), "fp1", name="x")
+    _counts(hashes, valid, t, s=256, pairs_host=pairs_host,
+            valid_host=valid, sort_cache=cache)
+    calls = []
+    real = pigeonhole._sort_block_host
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pigeonhole, "_sort_block_host", spy)
+    # stale fingerprint → full re-sort
+    cache2 = pigeonhole.SortOrderCache(str(tmp_path), "fp2", name="x")
+    got = _counts(hashes, valid, t, s=256, pairs_host=pairs_host,
+                  valid_host=valid, sort_cache=cache2)
+    assert len(calls) == t
+    np.testing.assert_array_equal(got, _golden_counts(hashes, valid, t))
+    # corrupt file → removed + rebuilt, not a crash
+    f = tmp_path / f"phsort-x-t{t}.npz"
+    f.write_bytes(b"garbage")
+    calls.clear()
+    cache3 = pigeonhole.SortOrderCache(str(tmp_path), "fp2", name="x")
+    got = _counts(hashes, valid, t, s=256, pairs_host=pairs_host,
+                  valid_host=valid, sort_cache=cache3)
+    assert len(calls) == t
+    np.testing.assert_array_equal(got, _golden_counts(hashes, valid, t))
+
+
+def test_store_sort_cache_add_remove_invalidates(rng, monkeypatch, tmp_path):
+    """Store-level wiring: search_self persists the sorted orders under
+    cache_dir, a fresh store with identical content reuses them, and an
+    add/remove changes the fingerprint so the cache is NOT reused (the
+    VERDICT r04 #2 invalidation contract)."""
+    from cbird_tpu.ops import hamming
+    monkeypatch.setattr(hamming, "_MESH", None)
+    monkeypatch.setenv("CBIRD_PH_SORT", "host")
+    t = 5
+    n = 4096
+    hashes, _ = _clustered(rng, n, t)
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+
+    def mk():
+        s = PackedHashStore(hashes.copy(), ids.copy())
+        s.cache_dir = str(tmp_path)
+        s.cache_name = "dcthash"
+        return s
+
+    r1 = mk().search_self(t, k=16, min_n=0)
+    assert (tmp_path / f"phsort-dcthash-t{t}.npz").exists()
+
+    calls = []
+    real = pigeonhole._sort_block_host
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pigeonhole, "_sort_block_host", spy)
+    r2 = mk().search_self(t, k=16, min_n=0)  # same content → cache hit
+    assert not calls, "cache was not reused for an unchanged store"
+    assert len(r1) == len(r2)
+    for (ri, rd), (ti, td) in zip(r1, r2):
+        np.testing.assert_array_equal(ri, ti)
+        np.testing.assert_array_equal(rd, td)
+
+    s3 = mk()
+    s3.remove([int(ids[100])])  # mutation → new fingerprint
+    r3 = s3.search_self(t, k=16, min_n=0)
+    assert calls, "mutated store must re-sort, not reuse the stale cache"
+    assert len(r3[100][0]) == 0  # removed row matches nothing
