@@ -18,6 +18,23 @@ import time
 import numpy as np
 
 
+# One-line causes for >1.5x moves vs the named prior round, embedded in the
+# JSON artifact so BENCH_r*.json is self-contained (VERDICT r04 #8: the r04
+# artifact flagged its own 5.84x move but the explanation lived in TODO.md).
+# When a big move is EXPECTED, add its in-process A/B citation here before
+# the round snapshot; unexplained moves get the re-run advisory.
+MOVE_EXPLANATIONS = {
+    "BENCH_r03.json": (
+        "round 3 shipped a 3.1x hash regression (vmap'd dynamic_update_slice "
+        "edge patches in _axis_map lower to scatters); round 4 replaced them "
+        "with fused one-hot corrections — same-process A/B: 245k fixed vs "
+        "167k round-2 formulation vs 42k regressed "
+        "(experiments/axis_map_bench_ab.py)"),
+}
+UNEXPLAINED = ("no recorded cause — TPU-pool speed varies up to 3x between "
+               "processes; re-run to confirm, bisect if it sticks")
+
+
 def _last_round_value():
     """Most recent BENCH_r*.json value, for regression-gating (VERDICT r03 #2:
     round 3 shipped a 3.1x hash loss invisibly because nothing compared
@@ -129,21 +146,26 @@ def main():
           f"+ {device_ms:.1f} ms device; <10 ms target {verdict}",
           file=sys.stderr)
 
-    last, last_name = _last_round_value()
-    if last:
-        ratio = imgs_per_sec / last
-        flag = "" if 0.67 <= ratio <= 1.5 else \
-            "  ** >1.5x move — investigate before snapshot (pool variance " \
-            "is up to 3x; re-run to confirm, bisect if it sticks) **"
-        print(f"vs_last_round: {ratio:.2f}x ({last_name}: {last:,.0f}){flag}",
-              file=sys.stderr)
-
-    print(json.dumps({
+    record = {
         "metric": "dct_hash_images_per_sec",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / 50000.0, 3),
-    }))
+    }
+    last, last_name = _last_round_value()
+    if last:
+        ratio = imgs_per_sec / last
+        record["vs_last_round"] = round(ratio, 2)
+        if not (0.67 <= ratio <= 1.5):
+            why = MOVE_EXPLANATIONS.get(last_name, UNEXPLAINED)
+            record["vs_last_round_explained"] = why
+            flag = f"  ** >1.5x move: {why} **"
+        else:
+            flag = ""
+        print(f"vs_last_round: {ratio:.2f}x ({last_name}: {last:,.0f}){flag}",
+              file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -167,8 +167,13 @@ class Cli:
         args = self._inject_saved_args(args)
         i = 0
         try:
+            from ..utils.log import profile_stage
             while i < len(args):
-                i = self._dispatch(args, i)
+                # per-verb wall attribution under CBIRD_PROFILE: together
+                # with the store/kernel stages this accounts for the whole
+                # CLI process (VERDICT r04 #1)
+                with profile_stage(f"verb {args[i]}"):
+                    i = self._dispatch(args, i)
         except ParamError as e:
             error(str(e))
             return 2
@@ -1222,7 +1227,11 @@ def main(argv: list[str] | None = None) -> int:
         print(USAGE)
         return 0
     try:
-        return Cli().run(list(argv))
+        from ..utils.log import profile_mark
+        profile_mark("cli start (interpreter+imports)")
+        rc = Cli().run(list(argv))
+        profile_mark("cli end")
+        return rc
     except BrokenPipeError:
         # stdout consumer (e.g. `| head`) closed early — not an error
         try:

@@ -18,7 +18,8 @@ from ..utils.log import info, warn
 
 
 def run_test_csv(engine, params, csv_path: str,
-                 truth: dict[str, set[str]] | None = None) -> dict:
+                 truth: dict[str, set[str]] | None = None,
+                 any_of: bool = False) -> dict:
     """@return {"rows": n, "pass": n_pass, "fail": n_fail,
                 "precision": float, "recall": float}
 
@@ -27,7 +28,11 @@ def run_test_csv(engine, params, csv_path: str,
                 when given (ALL acceptable matches, e.g. every same-base
                 sibling) else the row's expected set — so rows may list
                 only the must-find files without extra hits counting as
-                false positives."""
+                false positives.
+    @param any_of a row passes when ANY member of its truth set is
+           retrieved (duplicate-CLUSTER recall — used by the adversarial
+           corpus where >maxMatches same-base siblings compete for slots);
+           recall is then the pass rate"""
     root = engine.db.path()
 
     def resolve(p: str) -> str:
@@ -56,14 +61,19 @@ def run_test_csv(engine, params, csv_path: str,
                 needle = Media(needle_path)
             matches = engine.query(needle, params)
             got = {os.path.basename(m.path) for m in matches}
-            ok = expected <= got if expected else bool(got)
-            n_pass += ok
-            n_fail += not ok
-            want_total += len(expected)
-            want_found += len(expected & got)
             true_set = expected
             if truth is not None:
                 true_set = truth.get(os.path.basename(needle_path), expected)
+            if any_of and true_set:
+                ok = bool(got & true_set)
+                want_total += 1
+                want_found += ok
+            else:
+                ok = expected <= got if expected else bool(got)
+                want_total += len(expected)
+                want_found += len(expected & got)
+            n_pass += ok
+            n_fail += not ok
             got_total += len(got)
             got_true += len(got & true_set)
             w.writerow([rec[0], ";".join(sorted(expected)),

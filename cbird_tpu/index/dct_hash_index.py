@@ -59,13 +59,20 @@ class DctHashIndex(Index):
         # packed arrays load in a second (reference keeps dct in SQL only,
         # src/dcthashindex.cpp:70-114 — its scale stops around 500k)
         from .cache import load_cache, save_cache
-        cached = load_cache(cache_path, "dcthash", conn)
+        from ..utils.log import profile_stage
+        with profile_stage("dcthash sidecar-cache read"):
+            cached = load_cache(cache_path, "dcthash", conn)
         if cached is not None and {"ids", "hashes"} <= set(cached):
             self._store = PackedHashStore(cached["hashes"], cached["ids"])
             self._store.cache_dir = cache_path  # persists pigeonhole sorts
             self._store.cache_name = "dcthash"
             self._loaded = True
             return
+        with profile_stage("dcthash sql stream"):
+            self._load_sql(conn, cache_path)
+
+    def _load_sql(self, conn, cache_path: str) -> None:
+        from .cache import save_cache
         total = conn.execute(
             "select count(*) from media where type=? and phash_dct != 0",
             (TYPE_IMAGE,)).fetchone()[0]
@@ -149,28 +156,31 @@ class DctHashIndex(Index):
         ids = self._store.ids
         if n == 0:
             return ids, []
+        from ..utils.log import profile_stage
         k = max(params.maxMatches * 4, 64)
         raw = self._store.search_self(params.dctThresh, k=k, sparse=True)
         if params.maxThresh > 0:
-            # batched escalation: one store scan per threshold step over
-            # the still-short needles (the reference escalates per needle,
-            # src/database.cpp:1691-1757 — dispatch-bound at this scale)
-            tmp = params.copy()
-            hits_len = np.zeros(n, np.int64)
-            for r, v in raw.items():
-                hits_len[r] = len(v[0])
-            pend = np.nonzero((ids != 0)
-                              & (hits_len <= params.minMatches))[0].tolist()
-            while pend:
-                tmp.dctThresh += 1
-                if tmp.dctThresh > params.maxThresh:
-                    break
-                sub = self._store.search(hashes[pend], tmp.dctThresh, k=k,
-                                         min_hits=2)
-                for i, r in zip(pend, sub):
-                    raw[i] = r
-                pend = [i for i in pend
-                        if len(raw[i][0]) <= params.minMatches]
+            with profile_stage("find_all escalation"):
+                # batched escalation: one store scan per threshold step over
+                # the still-short needles (the reference escalates per
+                # needle, src/database.cpp:1691-1757 — dispatch-bound at N²
+                # scale)
+                tmp = params.copy()
+                hits_len = np.zeros(n, np.int64)
+                for r, v in raw.items():
+                    hits_len[r] = len(v[0])
+                pend = np.nonzero((ids != 0)
+                                  & (hits_len <= params.minMatches))[0].tolist()
+                while pend:
+                    tmp.dctThresh += 1
+                    if tmp.dctThresh > params.maxThresh:
+                        break
+                    sub = self._store.search(hashes[pend], tmp.dctThresh,
+                                             k=k, min_hits=2)
+                    for i, r in zip(pend, sub):
+                        raw[i] = r
+                    pend = [i for i in pend
+                            if len(raw[i][0]) <= params.minMatches]
         return ids, raw
 
     def find_index_data(self, media: Media) -> bool:

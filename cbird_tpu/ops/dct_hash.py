@@ -166,65 +166,46 @@ def _axis_map(start, size, rblur, n_out: int, n_canvas: int) -> jnp.ndarray:
     """[n_out, n_canvas] matrix = area-resize(32) ∘ mean-blur(2r+1, reflect101)
     restricted to canvas range [start, start+size).
 
-    Both operators are linear, so the composition is computed analytically:
-    the resize weight R[i, y] is the overlap of output cell i's source box
-    with pixel y, and each blur tap d contributes w_d * R at the tap's
-    reflect-101 preimages (interior y=t-d, left-reflection y=-t-d,
-    right-reflection y=2·size-2-t-d).
-
-    The interior taps are translations of ONE base resize matrix, so it is
-    evaluated once on a ±3-extended domain and the 7 taps become static
-    slice multiply-adds; the reflect-101 preimages are nonzero on at most 3
-    columns per edge (left: t∈{1..3}, right: t∈{size-4..size-2}), so they
-    are per-column corrections added via one-hot masks — elementwise ops
-    that fuse into the tap sum.  NOT dynamic_update_slice: under vmap that
-    lowers to a scatter that serializes map construction (the round-3
-    regression; judge-bisected 119k → 38k img/s on the full hash step).
-    Bit-identical to the 21-full-width-matrix formulation away from the ≤6
-    edge columns, ULP-level there (summation order); hash parity pinned by
-    the golden tests, perf by experiments/axis_map_bench_ab.py.
+    Both operators are linear and the composition has a CLOSED FORM: the
+    resize weight R[i, y] is the overlap of output cell i's source box
+    [i·sy, (i+1)·sy) with pixel cell [y, y+1) — a trapezoid in y whose
+    prefix sum over source pixels is
+        cum(i, Y) = (clip(clip(Y, 0, size), i·sy, (i+1)·sy) − i·sy) / sy
+    (Y exclusive).  The blur is a ±r windowed sum of translates of R, so it
+    telescopes: interior = cum(t+r+1) − cum(t−r); each reflect-101 edge
+    folds to one more cum() term (left preimages are y ∈ [0, r−t], right
+    are y ∈ [2size−2−t−r, size−1]).  Four cum() evaluations — one fused
+    elementwise expression over [n_out, n_canvas] — replace the previous
+    7-tap slice sum over an extended-domain resize matrix plus 6 one-hot
+    edge corrections (~35 HLO ops): map construction was the measured hash
+    bound at 63% of the 2.10 ms batch (experiments/hash_tail_ab.py); the
+    closed form produces identical hashes (0 bit flips over mixed
+    photo/noise batches) at ULP-level map difference
+    (experiments/hash_gemm_ab.py).  NOT dynamic_update_slice anywhere:
+    under vmap that lowers to a scatter that serializes construction (the
+    round-3 regression, judge-bisected 119k → 38k img/s).
+    Rebuilds reference blur+resize semantics, src/cvutil.cpp:444-476.
     """
     size_f = size.astype(jnp.float32)
     sy = size_f / n_out
     i = jnp.arange(n_out, dtype=jnp.float32)[:, None]  # [n_out,1]
+    lo = i * sy
+    hi = (i + 1.0) * sy
     k_inv = 1.0 / (2.0 * rblur.astype(jnp.float32) + 1.0)
-
-    def resize_w(y_int: jnp.ndarray) -> jnp.ndarray:
-        y = y_int.astype(jnp.float32)[None, :]
-        lo = jnp.maximum(i * sy, y)
-        hi = jnp.minimum((i + 1.0) * sy, y + 1.0)
-        wgt = jnp.maximum(hi - lo, 0.0) / sy
-        inb = ((y_int >= 0) & (y_int < size)).astype(jnp.float32)
-        return wgt * inb[None, :]
-
-    def wd(d: int):
-        return (rblur >= abs(d)).astype(jnp.float32) * k_inv
-
+    r = rblur.astype(jnp.int32)
     tl = jnp.arange(n_canvas, dtype=jnp.int32) - start  # crop-local index
 
-    # interior: base resize matrix on the extended domain, taps = slices
-    # (wext[:, c+3-d] == resize_w(tl[c] - d))
-    uext = jnp.arange(n_canvas + 6, dtype=jnp.int32) - 3 - start
-    wext = resize_w(uext)  # [n_out, n_canvas+6]
-    m = jnp.zeros((n_out, n_canvas), jnp.float32)
-    for d in range(-3, 4):  # max blur radius 3 (7×7); taps beyond rblur get w=0
-        m = m + wd(d) * jax.lax.slice_in_dim(wext, 3 - d, 3 - d + n_canvas, axis=1)
+    def cum(y_excl: jnp.ndarray) -> jnp.ndarray:
+        """Σ_{y=0}^{y_excl-1} overlap(i, y) for int32 [n_canvas] y_excl."""
+        yf = jnp.clip(y_excl.astype(jnp.float32), 0.0, size_f)[None, :]
+        return (jnp.clip(yf, lo, hi) - lo) / sy
 
-    # left reflection: y = -t-d in [0, size) with t>=1 forces t in {1,2,3}
-    r03 = resize_w(jnp.arange(4, dtype=jnp.int32))  # columns y = 0..3
-    for t in (1, 2, 3):
-        corr = sum(wd(d) * r03[:, -t - d] for d in range(-3, -t + 1))  # [n_out]
-        m = m + corr[:, None] * (tl == t).astype(jnp.float32)[None, :]
-
-    # right reflection: y = 2·size-2-t-d in [0, size) with t<=size-2 forces
-    # t in {size-4..size-2}; the needed y values are size-1-k for static k
-    rr = resize_w(size - 1 - jnp.arange(3, dtype=jnp.int32))  # y = size-1,·-2,·-3
-    for j in (2, 1, 0):  # correction column t = size-2-j
-        corr = sum(wd(d) * rr[:, d - j - 1] for d in range(j + 1, 4))  # [n_out]
-        m = m + corr[:, None] * (tl == size - 2 - j).astype(jnp.float32)[None, :]
-
+    interior = cum(tl + r + 1) - cum(tl - r)
+    left = jnp.where(tl >= 1, 1.0, 0.0)[None, :] * cum(r - tl + 1)
+    right = jnp.where(tl <= size - 2, 1.0, 0.0)[None, :] * (
+        cum(jnp.broadcast_to(size, tl.shape)) - cum(2 * size - 2 - tl - r))
     valid_t = ((tl >= 0) & (tl < size)).astype(jnp.float32)
-    return m * valid_t[None, :]
+    return k_inv * (interior + left + right) * valid_t[None, :]
 
 
 def _blur_radius(area: jnp.ndarray) -> jnp.ndarray:

@@ -339,11 +339,14 @@ class PackedHashStore:
         it avoids."""
         if self._fp is None:
             import hashlib
-            h = hashlib.blake2b(digest_size=16)
-            h.update(np.int64(len(self._hashes)).tobytes())
-            h.update(self._hashes.tobytes())
-            h.update(self._ids.tobytes())
-            self._fp = h.hexdigest()
+
+            from ..utils.log import profile_stage
+            with profile_stage(f"store fingerprint ({len(self._hashes)} rows)"):
+                h = hashlib.blake2b(digest_size=16)
+                h.update(np.int64(len(self._hashes)).tobytes())
+                h.update(self._hashes.tobytes())
+                h.update(self._ids.tobytes())
+                self._fp = h.hexdigest()
         return self._fp
 
     def _host_bucket_arrays(self, shard_multiple: bool = True):
@@ -365,13 +368,18 @@ class PackedHashStore:
 
     def _device_arrays(self):
         if self._dev is None:
+            from ..utils.log import profile_stage
             mesh = _search_mesh()
-            pairs, valid = self._host_bucket_arrays()
-            if mesh is not None:
-                from ..parallel.sharded import shard_index_arrays
-                self._dev = shard_index_arrays(mesh, pairs, valid)
-            else:
-                self._dev = (jnp.asarray(pairs), jnp.asarray(valid))
+            with profile_stage(f"store upload ({len(self._hashes)} rows)"):
+                pairs, valid = self._host_bucket_arrays()
+                if mesh is not None:
+                    from ..parallel.sharded import shard_index_arrays
+                    self._dev = shard_index_arrays(mesh, pairs, valid)
+                else:
+                    self._dev = (jnp.asarray(pairs), jnp.asarray(valid))
+                    # force the transfer now so the cost lands in this
+                    # stage, not in the first count dispatch
+                    self._dev[0].block_until_ready()
         return self._dev
 
     def _device_arrays_replicated(self):

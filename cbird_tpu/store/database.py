@@ -153,8 +153,11 @@ class Database:
         if not i.is_loaded():
             with self._lock:
                 if not i.is_loaded():
+                    from ..utils.log import profile_stage
                     data_path = self.video_path() if i.id == SearchParams.ALGO_VIDEO else ""
-                    i.load(self.connect(i.database_id()), self.cache_path(), data_path)
+                    with profile_stage(f"index load algo={i.id}"):
+                        i.load(self.connect(i.database_id()),
+                               self.cache_path(), data_path)
         return i
 
     def save_indices(self) -> None:
@@ -556,26 +559,29 @@ class Database:
         are ever visited; a dense N-list made the 2M CLI -similar spend
         175 of 177 s in this loop, VERDICT r03) or a dense list parallel
         to store_ids."""
+        from ..utils.log import profile_stage
         tm = self._make_tm(params)
         id_map: dict[int, Media] = {}
         results: MediaGroupList = []
         items = sorted(raw.items()) if isinstance(raw, dict) \
             else enumerate(raw)
-        for row, (ids, dists) in items:
-            nid = int(store_ids[row])
-            if nid == 0 or len(ids) == 0:
-                continue
-            matches = [Match(int(i), int(d)) for i, d in zip(ids, dists)]
-            if params.filterSelf and all(m.mediaId == nid for m in matches):
-                continue  # lone self-hit: skip without touching SQL
-            needle = id_map.get(nid)
-            if needle is None:
-                needle = self.media_with_id(nid)
-                id_map[nid] = needle
-            if not needle.is_valid():
-                continue
-            self._append_group(results, index, params, needle, matches,
-                               id_map, tm)
+        n_hot = len(raw) if isinstance(raw, dict) else len(store_ids)
+        with profile_stage(f"group assembly ({n_hot} hot rows)"):
+            for row, (ids, dists) in items:
+                nid = int(store_ids[row])
+                if nid == 0 or len(ids) == 0:
+                    continue
+                matches = [Match(int(i), int(d)) for i, d in zip(ids, dists)]
+                if params.filterSelf and all(m.mediaId == nid for m in matches):
+                    continue  # lone self-hit: skip without touching SQL
+                needle = id_map.get(nid)
+                if needle is None:
+                    needle = self.media_with_id(nid)
+                    id_map[nid] = needle
+                if not needle.is_valid():
+                    continue
+                self._append_group(results, index, params, needle, matches,
+                                   id_map, tm)
         return self._finish_groups(params, results)
 
     def _make_tm(self, params: SearchParams):
@@ -637,13 +643,15 @@ class Database:
 
     def _finish_groups(self, params: SearchParams,
                        results: MediaGroupList) -> MediaGroupList:
-        out: MediaGroupList = []
-        for group in results:
-            if not self.filter_match(params, group):
-                out.append(group)
-        out = self.filter_matches(params, out)
-        sort_group_list(out, ["path"])
-        return out
+        from ..utils.log import profile_stage
+        with profile_stage(f"filter+sort ({len(results)} groups)"):
+            out: MediaGroupList = []
+            for group in results:
+                if not self.filter_match(params, group):
+                    out.append(group)
+            out = self.filter_matches(params, out)
+            sort_group_list(out, ["path"])
+            return out
 
     def similar_to(self, needle: Media, params: SearchParams) -> MediaGroup:
         """Single/multi needle query (reference Database::similarTo)."""

@@ -125,6 +125,24 @@ def progress_line(msg: str) -> None:
 import contextlib
 
 
+def profile_mark(name: str) -> None:
+    """Under CBIRD_PROFILE, log elapsed real time SINCE PROCESS START at a
+    named point — attributes interpreter+import startup and the total
+    process wall, which per-stage timers cannot see (VERDICT r04 #1: ~110 s
+    of a 10M CLI -similar was unattributed)."""
+    if not os.environ.get("CBIRD_PROFILE"):
+        return
+    try:
+        with open("/proc/self/stat") as f:
+            start_ticks = int(f.read().rsplit(")", 1)[1].split()[19])
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        age = uptime - start_ticks / os.sysconf("SC_CLK_TCK")
+        info(f"[profile] @{name}: {age * 1000:.0f} ms since process start")
+    except (OSError, ValueError, IndexError):
+        pass
+
+
 @contextlib.contextmanager
 def profile_stage(name: str):
     """Per-stage wall-time logging, enabled by CBIRD_PROFILE=1 (the

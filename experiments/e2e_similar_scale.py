@@ -63,12 +63,16 @@ def main():
 
     for rep in ("cold", "warm"):
         t0 = time.perf_counter()
+        env = dict(os.environ, CBIRD_PROFILE="1")
         proc = subprocess.run(
             [sys.executable, "-m", "cbird_tpu.cli.main", "-use", root,
              "-similar", "-dump"],
-            capture_output=True, text=True, cwd=os.path.dirname(
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(
                 os.path.abspath(__file__)) + "/..")
         dt = time.perf_counter() - t0
+        for line in proc.stderr.splitlines():
+            if "[profile]" in line:
+                print(f"  {rep} {line[line.index('[profile]'):]}", flush=True)
         rss_mb = resource.getrusage(
             resource.RUSAGE_CHILDREN).ru_maxrss / 1024
         if proc.returncode:

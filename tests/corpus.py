@@ -39,9 +39,16 @@ def pink_noise(rng: np.random.Generator, h: int, w: int,
     return img
 
 
-def photo_image(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
-    """One synthetic 'photograph': RGB uint8 [h, w, 3]."""
-    base = pink_noise(rng, h, w)
+def photo_image(rng: np.random.Generator, h: int, w: int,
+                rng_base: np.random.Generator | None = None) -> np.ndarray:
+    """One synthetic 'photograph': RGB uint8 [h, w, 3].
+
+    @param rng_base optional separate generator for the dominant 1/f
+           luminance layer: two images built with a SHARED rng_base but
+           independent ``rng`` share their low-frequency skeleton — the
+           hardest kind of negative for a 9x9-low-frequency DCT hash
+           (near-duplicate statistics without being a duplicate)."""
+    base = pink_noise(rng_base if rng_base is not None else rng, h, w)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     # horizon-style luminance gradient
     horizon = rng.uniform(0.3, 0.7) * h
@@ -72,6 +79,29 @@ def _save(img: Image.Image, path: str, quality: int = 90) -> None:
     img.save(path, quality=quality)
 
 
+# the round-5 adversarial tier (VERDICT r04 #5): 90/180 rotations,
+# watermark overlay, multi-generation recompression chain, and a hard
+# NEGATIVE per base (shared low-frequency skeleton, independent content)
+ADVERSARIAL = ("rot90", "rot180", "wmark", "chain", "cousin")
+
+
+def _watermark(arr: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Corner logo block + translucent caption bar — the common real-world
+    watermark edit a deduper must see through."""
+    h, w = arr.shape[:2]
+    out = arr.astype(np.float64).copy()
+    bh = max(8, int(h * 0.05))
+    out[h - bh:] = 0.75 * out[h - bh:] + 0.25 * 255  # translucent caption
+    # "text": dark strokes on the bar
+    for x in range(int(w * 0.05), int(w * 0.5), 9):
+        out[h - bh + 2:h - 2, x:x + 2] *= 0.6
+    lh, lw = max(8, int(h * 0.09)), max(8, int(w * 0.09))
+    logo = rng.uniform(0, 255, (lh, lw, 1)).repeat(3, axis=2)
+    out[4:4 + lh, w - lw - 4:w - 4] = \
+        0.65 * out[4:4 + lh, w - lw - 4:w - 4] + 0.35 * logo
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def make_photo_corpus(root: str, n_base: int = 40, seed: int = 7,
                       variants: tuple[str, ...] = ("scales", "q50", "crop",
                                                    "rot5", "letterbox",
@@ -80,14 +110,19 @@ def make_photo_corpus(root: str, n_base: int = 40, seed: int = 7,
     """Write the corpus; @return base -> {variant name: path}.
 
     Variant names: orig, s075/s050/s033/s025, q50, crop, rot5, letterbox,
-    mirror."""
+    mirror; adversarial tier (pass variants=...+ADVERSARIAL): rot90,
+    rot180, wmark, chain, cousin.  A 'cousin' is a NEGATIVE: it shares the
+    base's dominant 1/f luminance skeleton but has independent structure,
+    so it must never be grouped with the base (it has its own truth set)."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     out: dict[str, dict[str, str]] = {}
     for i in range(n_base):
         h = int(rng.integers(240, 360))
         w = int(rng.integers(320, 480))
-        arr = photo_image(rng, h, w)
+        skeleton_seed = rng.integers(0, 2**31)
+        arr = photo_image(rng, h, w,
+                          rng_base=np.random.default_rng(skeleton_seed))
         im = Image.fromarray(arr)
         name = f"p{i:03d}"
         files: dict[str, str] = {}
@@ -117,6 +152,27 @@ def make_photo_corpus(root: str, n_base: int = 40, seed: int = 7,
             put("letterbox", Image.fromarray(boxed))
         if "mirror" in variants:
             put("mirror", im.transpose(Image.FLIP_LEFT_RIGHT))
+        if "rot90" in variants:
+            put("rot90", im.transpose(Image.ROTATE_90))
+        if "rot180" in variants:
+            put("rot180", im.transpose(Image.ROTATE_180))
+        if "wmark" in variants:
+            put("wmark", Image.fromarray(_watermark(arr, rng)))
+        if "chain" in variants:
+            # multi-generation social-media chain: q75 → decode → q60 →
+            # decode → q50 (each hop requantizes on the previous artifacts)
+            import io as _io
+            cur = im
+            for q in (75, 60):
+                buf = _io.BytesIO()
+                cur.save(buf, format="JPEG", quality=q)
+                buf.seek(0)
+                cur = Image.open(buf).convert("RGB")
+            put("chain", cur, q=50)
+        if "cousin" in variants:
+            cousin = photo_image(
+                rng, h, w, rng_base=np.random.default_rng(skeleton_seed))
+            put("cousin", Image.fromarray(cousin))
         out[name] = files
     return out
 
@@ -207,9 +263,17 @@ VIDEO_VARIANTS = ("clip", "scaled", "letterbox", "noise")
 #      relative to orig), in the reference as here.
 # orb: crop + rotation (oriented BRIEF), scales.
 # color: histogram is layout-invariant: everything except hue-changing ops.
+# Adversarial expectations (only engaged when the corpus was built with
+# the ADVERSARIAL tier): wmark/chain stay within each algo's robustness
+# contract; rot90/rot180 are expected ONLY from rotation-invariant algos
+# (color histogram; orb's oriented BRIEF).  dct recovers rot180 via
+# -p.refl b (180° = horizontal+vertical mirror) — measured separately.
+# 'cousin' appears in NO truth set: it is the planted hard negative.
 EXPECTED_VARIANTS = {
-    "dct": ("s075", "s050", "s033", "s025", "q50", "letterbox"),
-    "fdct": ("s075", "s050", "s033", "q50"),
-    "orb": ("s075", "s050", "q50", "crop", "rot5"),
-    "color": ("s075", "s050", "s033", "s025", "q50", "crop", "mirror"),
+    "dct": ("s075", "s050", "s033", "s025", "q50", "letterbox",
+            "wmark", "chain"),
+    "fdct": ("s075", "s050", "s033", "q50", "wmark", "chain"),
+    "orb": ("s075", "s050", "q50", "crop", "rot5", "wmark"),
+    "color": ("s075", "s050", "s033", "s025", "q50", "crop", "mirror",
+              "rot90", "rot180", "wmark", "chain"),
 }

@@ -101,3 +101,46 @@ def test_orb_rotation_robustness(tmp_path):
         pairs = _mutual_radius_match(d0, desc, radius=40)
         assert len(pairs) >= max(6, len(d0) // 10), \
             f"{deg}°: only {len(pairs)} of {len(d0)} descriptors matched"
+
+
+def test_accuracy_heldout_adversarial(tmp_path):
+    """Held-out + adversarial tier (VERDICT r04 #5): a disjoint-seed corpus
+    (gate constants were tuned on seed=7) with rot90/rot180, watermark,
+    recompression-chain variants and a planted hard NEGATIVE per base (the
+    'cousin': same 1/f skeleton, different content).  Gates: cluster recall
+    incl. the adversarial variants, zero cousin false positives, and
+    rot180 recovery via -p.refl b."""
+    res = _run_adv(tmp_path / "adv", 6, ("dct", "color"), seed=1007)
+    assert res["dct"]["recall"] >= 0.95, res["dct"]
+    assert res["dct"]["precision"] >= 0.95, res["dct"]
+    assert res["dct"]["cousin_fp_rows"] == 0, res["dct"]
+    assert res["color"]["recall"] >= 0.90, res["color"]
+    assert res["color"]["cousin_fp_rows"] <= 2, res["color"]
+    assert res["dct+refl(rot180)"]["recall"] >= 0.95, res
+    assert res["dct+refl(rot180)"]["cousin_fp_rows"] == 0, res
+
+
+@pytest.mark.features  # ORB kernel compile tier
+def test_accuracy_heldout_features(tmp_path):
+    """Held-out validation of the ORB vote-gate constants (cvGate=25,
+    GATE_FLOOR=500 were tuned on the seed-7 corpus): on a disjoint seed
+    the gate must keep its precision win without losing recall, and the
+    reference-exact ovg=0 run documents the default-on deviation."""
+    res = _run_adv(tmp_path / "advf", 5, ("fdct", "orb"), seed=1007,
+                   ovg_ab=True)
+    assert res["orb"]["recall"] >= 0.90, res["orb"]
+    assert res["orb"]["precision"] >= 0.90, res["orb"]
+    assert res["orb"]["cousin_fp_rows"] == 0, res["orb"]
+    assert res["fdct"]["recall"] >= 0.90, res["fdct"]
+    # the gate may only ever improve precision vs reference-exact voting
+    assert res["orb"]["precision"] >= res["orb(ovg=0)"]["precision"], res
+    assert res["orb"]["recall"] >= res["orb(ovg=0)"]["recall"] - 1e-9, res
+
+
+def _run_adv(root, bases, algos, seed, ovg_ab=False):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from accuracy import run_accuracy
+    return run_accuracy(str(root), n_base=bases, algos=algos,
+                        mirror_dct=("dct" in algos), seed=seed,
+                        adversarial=True, ovg_ab=ovg_ab)
