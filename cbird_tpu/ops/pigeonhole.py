@@ -187,11 +187,14 @@ class SortOrderCache:
     remove() zeroes hashes in place, so any mutation changes the
     fingerprint and invalidates the file.  Disable: CBIRD_PH_SORT_CACHE=off.
 
-    Per block the file holds the int32 order plus packbit'd svalid/change
-    masks and the measured run count — everything ``_pad_block_host``
-    needs, so a cache hit skips building the host bucket arrays entirely.
-    Blocks are read lazily from the npz handle (one [N] int32 at a time,
-    not T of them) to keep peak host RSS flat at 100M rows.
+    Each block lives in its OWN file (phsort-<name>-t<T>.b<i>.npz) holding
+    the int32 order plus packbit'd svalid/change masks and the measured
+    run count — everything ``_pad_block_host`` needs, so a cache hit
+    skips building the host bucket arrays entirely.  Per-block files keep
+    peak host RSS flat (one [N] int32 in memory at a time, ~40 MB at 10M
+    instead of T×, ~2 GB at 100M), are written as soon as each sort
+    completes (a later-block band-size bail cannot discard earlier
+    sorts), and let a re-search after partial completion resume.
     """
 
     def __init__(self, cache_dir: str, fingerprint: str,
@@ -201,34 +204,37 @@ class SortOrderCache:
         self.cache_dir = cache_dir
         self.fingerprint = fingerprint
         self.name = name
-        self._npz = None
 
     @staticmethod
     def enabled() -> bool:
         return os.environ.get("CBIRD_PH_SORT_CACHE", "on").lower() not in (
             "off", "0", "no")
 
-    def _file(self, threshold: int) -> str:
+    def _file(self, threshold: int, b: int) -> str:
         return os.path.join(self.cache_dir,
-                            f"phsort-{self.name}-t{threshold}.npz")
+                            f"phsort-{self.name}-t{threshold}.b{b}.npz")
 
-    def open(self, threshold: int, n_pad: int) -> bool:
-        """@return True when a valid cache for (fingerprint, threshold,
-        n_pad) exists; keeps the npz handle open for get()."""
-        self.close()
-        f = self._file(threshold)
+    def _valid(self, z, threshold: int, n_pad: int) -> bool:
+        return (int(z["version"]) == _SORT_CACHE_VERSION
+                and str(z["fingerprint"]) == self.fingerprint
+                and int(z["n_pad"]) == n_pad
+                and int(z["threshold"]) == threshold)
+
+    def get(self, threshold: int, n_pad: int, b: int):
+        """@return the _sort_block_host tuple (order int32 [n_pad],
+        svalid bool, n_runs, change bool) for block ``b``, or None on
+        miss/stale/corrupt (corrupt files are removed)."""
+        f = self._file(threshold, b)
         if not os.path.exists(f):
-            return False
+            return None
         try:
-            z = np.load(f)
-            if (int(z["version"]) != _SORT_CACHE_VERSION
-                    or str(z["fingerprint"]) != self.fingerprint
-                    or int(z["n_pad"]) != n_pad
-                    or int(z["threshold"]) != threshold):
-                z.close()
-                return False
-            self._npz = z
-            return True
+            with np.load(f) as z:
+                if not self._valid(z, threshold, n_pad):
+                    return None
+                order = z["order"]
+                svalid = np.unpackbits(z["svalid"], count=n_pad).astype(bool)
+                change = np.unpackbits(z["change"], count=n_pad).astype(bool)
+                return order, svalid, int(z["nruns"]), change
         except Exception:  # corrupt/truncated → rebuild (and replace)
             from ..utils.log import warn
             warn(f"corrupt sort cache removed: {f}")
@@ -236,42 +242,25 @@ class SortOrderCache:
                 os.unlink(f)
             except OSError:
                 pass
-            return False
+            return None
 
-    def get(self, b: int):
-        """@return (order int32 [n_pad], svalid bool, n_runs, change bool)
-        for block ``b`` — the _sort_block_host tuple."""
-        z = self._npz
-        order = z[f"order{b}"]
-        n = len(order)
-        svalid = np.unpackbits(z[f"svalid{b}"], count=n).astype(bool)
-        change = np.unpackbits(z[f"change{b}"], count=n).astype(bool)
-        return order, svalid, int(z[f"nruns{b}"]), change
-
-    def close(self) -> None:
-        if self._npz is not None:
-            self._npz.close()
-            self._npz = None
-
-    def save(self, threshold: int, n_pad: int, blocks: dict) -> None:
-        """Atomically write all T blocks. @param blocks {b: sort tuple}"""
-        arrays = {
-            "version": np.int64(_SORT_CACHE_VERSION),
-            "fingerprint": np.str_(self.fingerprint),
-            "n_pad": np.int64(n_pad),
-            "threshold": np.int64(threshold),
-        }
-        for b, (order, svalid, n_runs, change) in blocks.items():
-            arrays[f"order{b}"] = np.ascontiguousarray(order, np.int32)
-            arrays[f"svalid{b}"] = np.packbits(svalid)
-            arrays[f"change{b}"] = np.packbits(change)
-            arrays[f"nruns{b}"] = np.int64(n_runs)
+    def save_block(self, threshold: int, n_pad: int, b: int, block) -> None:
+        """Atomically persist one block as soon as its sort completes."""
+        order, svalid, n_runs, change = block
         os.makedirs(self.cache_dir, exist_ok=True)
-        f = self._file(threshold)
+        f = self._file(threshold, b)
         tmp = f"{f}.tmp.{os.getpid()}"
         try:
             with open(tmp, "wb") as fh:
-                np.savez(fh, **arrays)
+                np.savez(fh,
+                         version=np.int64(_SORT_CACHE_VERSION),
+                         fingerprint=np.str_(self.fingerprint),
+                         n_pad=np.int64(n_pad),
+                         threshold=np.int64(threshold),
+                         order=np.ascontiguousarray(order, np.int32),
+                         svalid=np.packbits(svalid),
+                         change=np.packbits(change),
+                         nruns=np.int64(n_runs))
             os.replace(tmp, f)
         except OSError:
             try:
@@ -594,31 +583,40 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
                  and (pairs_host is not None or host_arrays is not None)
                  and mode != "device"
                  and (mode == "host" or n_pad >= HOST_SORT_MIN))
-    cache_hit = False
-    if host_sort and sort_cache is not None and sort_cache.enabled():
-        cache_hit = sort_cache.open(threshold, n_pad)
-    if host_sort and not cache_hit and pairs_host is None:
-        pairs_host, valid_host = host_arrays()  # lazy: only when sorting
-    if host_sort and not cache_hit:
+    use_cache = (host_sort and sort_cache is not None
+                 and sort_cache.enabled())
+
+    def _host_arrays():
+        """Build (and pad) the host bucket copies on first real need."""
+        nonlocal pairs_host, valid_host, host_sort
+        if pairs_host is None:
+            pairs_host, valid_host = host_arrays()
         if len(pairs_host) > n_pad:  # order must index pairs_dev
             host_sort = False
-        elif len(pairs_host) < n_pad:
+            return False
+        if len(pairs_host) < n_pad:
             pairs_host = np.pad(pairs_host, ((0, n_pad - len(pairs_host)),
                                              (0, 0)))
             valid_host = np.pad(valid_host, (0, n_pad - len(valid_host)))
-    sorts_to_save: dict = {}
+        return True
+
     for b, mask_cur in enumerate(masks):
         mask_prev = masks[:b]
         with profile_stage(f"ph sort b{b}"):
             if host_sort:
-                if cache_hit:
-                    order_u, svalid_h, n_runs, change = sort_cache.get(b)
-                else:
-                    order_u, svalid_h, n_runs, change = _sort_block_host(
-                        pairs_host, valid_host, mask_cur, width)
-                    if sort_cache is not None and sort_cache.enabled():
-                        sorts_to_save[b] = (order_u, svalid_h, n_runs,
-                                            change)
+                blk = sort_cache.get(threshold, n_pad, b) if use_cache \
+                    else None
+                if blk is None and _host_arrays():
+                    blk = _sort_block_host(pairs_host, valid_host,
+                                           mask_cur, width)
+                    if use_cache:
+                        with profile_stage(f"ph sort-cache save b{b}"):
+                            sort_cache.save_block(threshold, n_pad, b, blk)
+            # _host_arrays() can flip host_sort off (host copies bigger
+            # than the device bucket) — the device sort below then takes
+            # over for this and every later block
+            if host_sort:
+                order_u, svalid_h, n_runs, change = blk
             else:
                 slo_u, shi_u, srow_u, svalid_u, n_runs = _sort_block(
                     pairs_dev, valid_dev, mask_cur, width)
@@ -629,8 +627,6 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
                 # declared block width lies when hash bits are biased
                 sb = _pick_s_avg(n_valid / max(1.0, float(n_runs)), n_pad)
                 if not sb:
-                    if sort_cache is not None:
-                        sort_cache.close()
                     return None  # measured runs too long — classic wins
             if host_sort:
                 slo, shi, srow, svalid, os_start, os_end, n_os = \
@@ -661,8 +657,6 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
             if (len(tile_pairs) > RUN_BUDGET_TILES
                     or len(tile_pairs) * sb * sb
                     > RUN_BUDGET_FRAC * n_valid * n_valid / 2):
-                if sort_cache is not None:
-                    sort_cache.close()
                 return None  # degenerate key skew — classic path wins
         with profile_stage(f"ph band b{b} (s={sb}, runs={len(tile_pairs)})"):
             if mesh is not None:
@@ -705,14 +699,6 @@ def _count_device(pairs_dev, valid_dev, threshold: int, n_valid: int,
             counts = _unsort_add(counts, csort, srow)
             if prof:
                 np.asarray(counts[:1])
-    if sort_cache is not None:
-        sort_cache.close()
-        if sorts_to_save:
-            # persist only after every block succeeded (a mid-loop bail
-            # means the classic path runs; partial caches would be dead
-            # weight re-validated every search)
-            with profile_stage("ph sort-cache save"):
-                sort_cache.save(threshold, n_pad, sorts_to_save)
     return counts
 
 

@@ -425,8 +425,8 @@ def test_sort_cache_roundtrip(rng, monkeypatch, tmp_path, t):
     got1 = _counts(hashes, valid, t, s=256, pairs_host=pairs_host,
                    valid_host=valid, sort_cache=cache)
     assert got1 is not None
-    f = tmp_path / f"phsort-x-t{t}.npz"
-    assert f.exists()
+    for b in range(t):  # one file per block
+        assert (tmp_path / f"phsort-x-t{t}.b{b}.npz").exists()
 
     def no_sort(*a, **k):
         raise AssertionError("re-sorted despite a cache hit")
@@ -466,14 +466,14 @@ def test_sort_cache_fingerprint_and_corruption(rng, monkeypatch, tmp_path):
                   valid_host=valid, sort_cache=cache2)
     assert len(calls) == t
     np.testing.assert_array_equal(got, _golden_counts(hashes, valid, t))
-    # corrupt file → removed + rebuilt, not a crash
-    f = tmp_path / f"phsort-x-t{t}.npz"
+    # corrupt ONE block file → only that block re-sorts, not a crash
+    f = tmp_path / f"phsort-x-t{t}.b1.npz"
     f.write_bytes(b"garbage")
     calls.clear()
     cache3 = pigeonhole.SortOrderCache(str(tmp_path), "fp2", name="x")
     got = _counts(hashes, valid, t, s=256, pairs_host=pairs_host,
                   valid_host=valid, sort_cache=cache3)
-    assert len(calls) == t
+    assert len(calls) == 1
     np.testing.assert_array_equal(got, _golden_counts(hashes, valid, t))
 
 
@@ -497,7 +497,7 @@ def test_store_sort_cache_add_remove_invalidates(rng, monkeypatch, tmp_path):
         return s
 
     r1 = mk().search_self(t, k=16, min_n=0)
-    assert (tmp_path / f"phsort-dcthash-t{t}.npz").exists()
+    assert (tmp_path / f"phsort-dcthash-t{t}.b0.npz").exists()
 
     calls = []
     real = pigeonhole._sort_block_host
