@@ -507,8 +507,15 @@ class Cli:
             return i + 1
 
         if a == "-complete":
-            # emit a bash completion script (reference -complete,
-            # src/main.cpp:150-354)
+            # emit a bash completion script (reference -complete <shell>,
+            # src/main.cpp:150-354); the optional shell arg is consumed —
+            # only bash syntax is emitted (usable from zsh via bashcompinit)
+            shell = ""
+            if i + 1 < len(args) and not args[i + 1].startswith("-"):
+                shell = args[i + 1]
+                if shell not in ("bash", "zsh"):
+                    warn(f"-complete: unsupported shell '{shell}', "
+                         "emitting bash syntax")
             verbs = sorted({w for w in _KNOWN_VERBS})
             p_keys = " ".join(f"-p.{s.key}" for s in self.search.SPECS)
             i_keys = " ".join(f"-i.{s.key}" for s in self.index.SPECS)
@@ -519,7 +526,7 @@ _cbird_complete() {{
   [ -z "$COMPREPLY" ] && COMPREPLY=( $(compgen -f -- "$cur") )
 }}
 complete -F _cbird_complete cbird""")
-            return i + 1
+            return i + 2 if shell else i + 1
 
         if a == "-video-thumbnail":
             f = self._need(args, i, "<file> <frame>")

@@ -246,3 +246,12 @@ def test_engine_stop_update_resumes(tmp_path):
     assert eng.db.count() == 8
     s3 = eng.update()  # stable
     assert s3["added"] == 0 and s3["modified"] == 0
+
+
+def test_complete_lists_new_verbs(capsys):
+    """-complete must advertise every verb, incl. the round-5 additions
+    (reference shell completion, src/main.cpp:150-354)."""
+    assert main(["-complete", "bash"]) == 0
+    out = capsys.readouterr().out
+    for verb in ("-updatemd5", "-test-update", "-similar", "-verify"):
+        assert verb in out, verb
